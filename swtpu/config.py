@@ -1,0 +1,74 @@
+"""Typed engine configuration.
+
+The reference hard-codes every knob as a compile-time ``#define``
+(GAP_PENALTY src/SWSolver.cu:7, TILE_SIZE src/FASTAParsers.h:12, memory
+thresholds src/SWSolver.cu:49-50, BLOCK_Y_DIM src/SWSolver.cu:43).  Here they
+are a frozen dataclass, so a single config object travels ingest -> batching
+-> kernel -> reduction and hashes into the jit cache key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SWConfig:
+    """Configuration for a Smith-Waterman database search."""
+
+    # --- scoring semantics -------------------------------------------------
+    gap_penalty: int = 2  # linear gap (reference: src/SWSolver.cu:7)
+    matrix: str = "blosum50_ref"  # see swtpu.matrices.get_matrix
+    # Score accumulation dtype: "int32" (exact, default) or "int16"
+    # (saturating, SWSolver_char-parity narrow-type mode with exact
+    # int32 rescore fallback on overflow).
+    score_dtype: str = "int32"
+
+    # --- batching / bucketing ----------------------------------------------
+    # Subject lengths are padded up to a multiple of this before bucketing
+    # (generalises the reference's pad-to-8, src/FASTAParsers.h:94-96; we use
+    # lane-friendly 128 by default on device, 8 only for parity tests).
+    length_quantum: int = 128
+    # Max padded subject length per bucket batch row; longer sequences go to
+    # wider buckets (no global cap: widest bucket == longest subject).
+    batch_rows: int = 256  # subjects per batch (lane batching)
+    # Upper bound on residues resident per scheduled chunk, the analogue of
+    # the reference's GPU/CPU flush thresholds (src/SWSolver.cu:49-50).
+    chunk_budget_residues: int = 64 * 1024 * 1024
+
+    # --- kernel ------------------------------------------------------------
+    query_strip: int = 16  # query rows per profile strip (MXU matmul width)
+    use_pallas: bool = True  # Pallas kernel on TPU; XLA fallback otherwise
+    interpret: bool = False  # Pallas interpret mode (CPU testing)
+
+    # --- results -----------------------------------------------------------
+    top_k: Optional[int] = None  # None = full score array (reference parity)
+
+    # --- parallelism -------------------------------------------------------
+    # Device mesh axis sizes: (data,) database sharding across chips.
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("db",)
+
+    def __post_init__(self):
+        if self.gap_penalty < 0:
+            raise ValueError("gap_penalty must be >= 0")
+        if self.length_quantum < 1 or self.batch_rows < 1:
+            raise ValueError("length_quantum and batch_rows must be >= 1")
+        if self.score_dtype not in ("int32", "int16"):
+            raise ValueError(f"unsupported score_dtype {self.score_dtype!r}")
+        if len(self.mesh_shape) != len(self.mesh_axes):
+            raise ValueError("mesh_shape and mesh_axes must align")
+
+    @property
+    def n_devices(self) -> int:
+        return math.prod(self.mesh_shape)
+
+    def replace(self, **kw) -> "SWConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Reference-parity config: quantum 8 like FASTAParsers.h pad-to-8, exact int32
+# scores, reference BLOSUM50 with zeroed '*'.
+REFERENCE_PARITY = SWConfig(length_quantum=8, matrix="blosum50_ref", gap_penalty=2)

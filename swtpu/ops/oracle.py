@@ -1,0 +1,177 @@
+"""CPU golden oracle for Smith-Waterman (score + traceback).
+
+This is the trust anchor for the whole engine: a deliberately simple NumPy
+implementation of local alignment with a linear gap penalty, against which
+the XLA and Pallas kernels are validated bit-exactly.
+
+Semantics replicated (with citations into /root/reference):
+
+* recurrence ``H[i,j] = max(0, H[i,j-1]-g, H[i-1,j]-g, H[i-1,j-1]+S)``
+  (src/SWSolver.cu:146-153 and src/cpu.cpp:43-74),
+* result per subject = max over all cells (src/SWSolver.cu:153),
+* traceback tie-breaking LEFT > TOP > DIAG (src/cpu.cpp:47-64: later
+  candidates override only on strictly-greater score),
+* argmax cell = first maximal cell in row-major order (src/cpu.cpp:66-70,
+  strict ``>``), traceback walk stops when the destination cell is 0
+  (src/cpu.cpp:80-103).
+
+Two scorers are provided:
+
+* :func:`sw_score_scalar` — pure-Python loops, the most-obviously-correct
+  form; used for tiny property tests only.
+* :func:`sw_score_diag` — NumPy anti-diagonal vectorisation (independent of
+  the row-cummax trick used on device, so the two cross-validate each other);
+  used to generate golden score files for whole subset databases.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+FROM_NONE = 0
+FROM_LEFT = 1
+FROM_TOP = 2
+FROM_TOP_LEFT = 3
+
+
+def sw_score_scalar(query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, gap: int) -> int:
+    """Naive scalar SW max-score. query/subject: int residue indices."""
+    q = np.asarray(query, dtype=np.int64)
+    s = np.asarray(subject, dtype=np.int64)
+    prev = np.zeros(len(s) + 1, dtype=np.int64)
+    best = 0
+    for qi in q:
+        cur = np.zeros(len(s) + 1, dtype=np.int64)
+        for j in range(1, len(s) + 1):
+            h = max(
+                0,
+                cur[j - 1] - gap,
+                prev[j] - gap,
+                prev[j - 1] + int(matrix[qi, s[j - 1]]),
+            )
+            cur[j] = h
+            if h > best:
+                best = h
+        prev = cur
+    return int(best)
+
+
+def sw_matrix(query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, gap: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Full (m+1, n+1) scoring + traceback matrices, cpu.cpp semantics."""
+    q = np.asarray(query, dtype=np.int64)
+    s = np.asarray(subject, dtype=np.int64)
+    m, n = len(q), len(s)
+    H = np.zeros((m + 1, n + 1), dtype=np.int64)
+    TB = np.zeros((m + 1, n + 1), dtype=np.int8)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            score, origin = 0, FROM_NONE
+            cand = H[i, j - 1] - gap
+            if cand > score:
+                score, origin = cand, FROM_LEFT
+            cand = H[i - 1, j] - gap
+            if cand > score:
+                score, origin = cand, FROM_TOP
+            cand = H[i - 1, j - 1] + int(matrix[q[i - 1], s[j - 1]])
+            if cand > score:
+                score, origin = cand, FROM_TOP_LEFT
+            H[i, j] = score
+            TB[i, j] = origin
+    return H, TB
+
+
+def sw_traceback(
+    query_str: str,
+    subject_str: str,
+    matrix: np.ndarray,
+    gap: int,
+    encode=None,
+) -> Tuple[int, str, str, Tuple[int, int]]:
+    """Score + gapped aligned strings, exactly matching cpu.cpp's walk.
+
+    Returns (max_score, aligned_query, aligned_subject, (end_i, end_j)) with
+    end indices 1-based into the DP matrix, as in the reference.
+    """
+    if encode is None:
+        from ..alphabet import encode_str as encode
+    q_idx = encode(query_str)
+    s_idx = encode(subject_str)
+    H, TB = sw_matrix(q_idx, s_idx, matrix, gap)
+    # First maximal cell in row-major order (strict '>' scan, cpu.cpp:66-70).
+    flat = int(np.argmax(H))
+    i, j = divmod(flat, H.shape[1])
+    best = int(H[i, j])
+    out_q: List[str] = []
+    out_s: List[str] = []
+    ti, tj = i, j
+    value = H[ti, tj]
+    while value != 0:
+        d = TB[ti, tj]
+        if d == FROM_LEFT:
+            tj -= 1
+            out_q.append("-")
+            out_s.append(subject_str[tj])
+        elif d == FROM_TOP:
+            ti -= 1
+            out_q.append(query_str[ti])
+            out_s.append("-")
+        elif d == FROM_TOP_LEFT:
+            ti -= 1
+            tj -= 1
+            out_q.append(query_str[ti])
+            out_s.append(subject_str[tj])
+        else:  # origin NONE with nonzero value cannot happen
+            break
+        value = H[ti, tj]
+    return best, "".join(reversed(out_q)), "".join(reversed(out_s)), (i, j)
+
+
+def sw_score_diag(query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, gap: int) -> int:
+    """Anti-diagonal vectorised SW max-score (NumPy).
+
+    State is three diagonals indexed by query position i; cells on diagonal d
+    are (i, j=d-i).  Independent of the device kernels' row-cummax algorithm.
+    """
+    q = np.asarray(query, dtype=np.int64)
+    s = np.asarray(subject, dtype=np.int64)
+    m, n = len(q), len(s)
+    if m == 0 or n == 0:
+        return 0
+    neg = np.int64(-(1 << 40))
+    d2 = np.full(m, neg)  # H on diagonal d-2, index by i
+    d1 = np.full(m, neg)  # H on diagonal d-1
+    best = np.int64(0)
+    ii = np.arange(m)
+    for d in range(m + n - 1):
+        lo = max(0, d - n + 1)
+        hi = min(m - 1, d)
+        cur = np.full(m, neg)
+        seg = slice(lo, hi + 1)
+        jj = d - ii[seg]
+        sub = matrix[q[seg], s[jj]].astype(np.int64)
+        # H[i-1, j-1]: for i>=1, j>=1 it lives at d2[i-1]; boundaries -> 0.
+        shifted_d2 = np.concatenate(([np.int64(0)], d2[:-1]))
+        diag_prev = np.where((ii[seg] >= 1) & (jj >= 1), shifted_d2[seg], 0)
+        up = np.where(ii[seg] >= 1, np.concatenate(([np.int64(0)], d1[:-1]))[seg], 0)  # H[i-1, j]
+        left = np.where(jj >= 1, d1[seg], 0)  # H[i, j-1]
+        h = np.maximum(0, diag_prev + sub)
+        h = np.maximum(h, up - gap)
+        h = np.maximum(h, left - gap)
+        cur[seg] = h
+        m_ = h.max()
+        if m_ > best:
+            best = m_
+        d2, d1 = d1, cur
+    return int(best)
+
+
+def sw_score_many(
+    query: np.ndarray,
+    subjects: Sequence[np.ndarray],
+    matrix: np.ndarray,
+    gap: int,
+) -> np.ndarray:
+    """Score one query against many subjects with the diagonal oracle."""
+    return np.array([sw_score_diag(query, s, matrix, gap) for s in subjects], dtype=np.int32)
