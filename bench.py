@@ -1,0 +1,127 @@
+"""Headline benchmark: Smith-Waterman database-search GCUPS on one chip.
+
+Replicates the reference's Performance-suite protocol (17 timed full-DB
+searches, test/swissprot_tests.cpp:99-115) on a SwissProt-shaped synthetic
+database (the real uniprot_sprot.fasta is an external fetch in the reference
+too, test/swissprot_tests.cpp:62).  Sequence content cannot affect timing —
+the DP has no data-dependent control flow — only the length distribution
+matters, which is sampled to match SwissProt (lognormal, median ~290 aa).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = device GCUPS (true cells / device seconds) for the mid-length query.
+vs_baseline divides by 17 GCUPS — a published single-GPU CUDA
+Smith-Waterman anchor (CUDASW++ 2.0 class; the reference repo itself
+publishes no numbers, BASELINE.md).
+
+Usage: python bench.py [--quick] [--full] [--queries N] [--db-size N]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BASELINE_GCUPS = 17.0  # single-GPU CUDA SW anchor (see module docstring)
+
+
+def synth_database(n_seqs: int, seed: int = 0):
+    """SwissProt-shaped random database (lognormal lengths, median ~290)."""
+    from swtpu.io.fasta import Database
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    lengths = np.clip(rng.lognormal(mean=5.67, sigma=0.62, size=n_seqs), 20, 8000).astype(np.int64)
+    offsets = np.zeros(n_seqs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    residues = rng.integers(0, 25, size=int(offsets[-1]), dtype=np.int8)
+    return Database(residues=residues, offsets=offsets)
+
+
+def load_query(name: str, length: int, seed: int = 1):
+    from swtpu.io.fasta import Query, parse_query
+
+    ref = Path("/root/reference/data/queries") / f"{name}.fasta"
+    if ref.exists():
+        return parse_query(ref)
+    rng = np.random.default_rng(seed)
+    res = rng.integers(0, 25, length).astype(np.int8)
+    return Query(name=name, residues=res, raw="")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small db, 1 query")
+    ap.add_argument("--full", action="store_true", help="all 17 reference query lengths")
+    ap.add_argument("--db-size", type=int, default=60000)
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    from swtpu.config import SWConfig
+    from swtpu.models.search import SearchEngine
+    from swtpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    n_seqs = 4000 if args.quick else args.db_size
+    db = synth_database(n_seqs)
+    engine = SearchEngine(SWConfig(use_pallas=not args.no_pallas))
+    plan = engine.plan(db)
+
+    # The reference Performance suite sweeps query lengths 144..5147; we key
+    # the headline on P01008 (the golden-test query) and report the sweep.
+    queries = ["P02232", "P01008", "P08519"] if not args.quick else ["P01008"]
+    if args.full:
+        queries = [
+            "P02232", "P05013", "P14942", "P07327", "P01008", "P42357", "P03435",
+            "P21177", "Q38941", "P27895", "P07756", "P19096", "P28167", "P0C6B8",
+            "P20930", "Q7TMA5", "P08519",
+        ]
+    lengths = {"P02232": 144, "P05013": 189, "P14942": 222, "P07327": 375,
+               "P01008": 464, "P42357": 657, "P03435": 567, "P21177": 452,
+               "Q38941": 850, "P27895": 1000, "P07756": 1500, "P19096": 2500,
+               "P28167": 2700, "P0C6B8": 3100, "P20930": 4061, "Q7TMA5": 4548,
+               "P08519": 4548}
+
+    results = {}
+    headline = None
+    for qname in queries:
+        q = load_query(qname, lengths.get(qname, 500))
+        engine.search(q, db, plan=plan)  # warm-up: compiles every shape
+        best = None
+        for _ in range(2 if args.quick else 3):
+            r = engine.search(q, db, plan=plan)
+            if best is None or r.metrics.device_seconds < best.metrics.device_seconds:
+                best = r
+        m = best.metrics
+        results[qname] = {
+            "qlen": m.query_length,
+            "gcups_device": round(m.gcups_device, 2),
+            "gcups_device_padded": round(m.gcups_device_padded, 2),
+            "gcups_e2e": round(m.gcups, 2),
+            "device_s": round(m.device_seconds, 4),
+            "wall_s": round(m.wall_seconds, 4),
+        }
+        if qname == "P01008" or headline is None:
+            headline = m
+        print(f"# {qname} len={m.query_length} device={m.gcups_device:.2f} GCUPS "
+              f"(padded {m.gcups_device_padded:.2f}), e2e={m.gcups:.2f} GCUPS", file=sys.stderr)
+
+    value = headline.gcups_device
+    print(json.dumps({
+        "metric": "sw_search_gcups_per_chip",
+        "value": round(value, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(value / BASELINE_GCUPS, 3),
+        "detail": results,
+        "db_sequences": db.n,
+        "db_residues": db.length_sum,
+    }))
+
+
+if __name__ == "__main__":
+    main()

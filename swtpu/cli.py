@@ -1,0 +1,84 @@
+"""Command-line driver.
+
+Mirrors the reference CLI (src/main.cpp): required ``--query``/``--db``,
+full ``id:score`` dump, and the METRICS/GCUPS block in the same format —
+plus engine-native extras (top-K, JSON metrics, matrix/gap/dtype selection,
+score suppression for benchmarking).
+
+Usage::
+
+    python -m swtpu --query data/queries/P01008.fasta --db swissprot.fasta
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional, Sequence
+
+from .config import SWConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="swtpu", description="TPU-native Smith-Waterman database search")
+    p.add_argument("--query", required=True, help="query FASTA file (src/main.cpp:27)")
+    p.add_argument("--db", required=True, help="database FASTA file (src/main.cpp:28)")
+    p.add_argument("--matrix", default="blosum50_ref", help="substitution matrix name")
+    p.add_argument("--gap", type=int, default=2, help="linear gap penalty")
+    p.add_argument("--score-dtype", choices=["int32", "int16"], default="int32")
+    p.add_argument("--top-k", type=int, default=None, help="print only the K best hits")
+    p.add_argument("--no-scores", action="store_true", help="skip the per-sequence score dump")
+    p.add_argument("--json", action="store_true", help="emit metrics as one JSON line")
+    p.add_argument("--no-pallas", action="store_true", help="force the XLA kernel")
+    p.add_argument("--batch-rows", type=int, default=256)
+    p.add_argument("--length-quantum", type=int, default=128)
+    return p
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    t_start = time.perf_counter()  # timer spans parsing, like src/main.cpp:20
+
+    from .io.fasta import parse_database, parse_query
+    from .models.search import SearchEngine
+
+    config = SWConfig(
+        gap_penalty=args.gap,
+        matrix=args.matrix,
+        score_dtype=args.score_dtype,
+        batch_rows=args.batch_rows,
+        length_quantum=args.length_quantum,
+        use_pallas=not args.no_pallas,
+        top_k=args.top_k,
+    )
+
+    query = parse_query(args.query)
+    print(f"Input buffer:{query.raw}")
+    print()
+    db = parse_database(args.db)
+
+    engine = SearchEngine(config)
+    result = engine.search(query, db)
+
+    if args.top_k is not None:
+        for sid, score in result.top_k(args.top_k):
+            print(f"{sid}:{score}")
+    elif not args.no_scores:
+        out = sys.stdout
+        out.write("\n".join(f"{i}:{s}" for i, s in enumerate(result.scores.tolist())))
+        out.write("\n")
+
+    elapsed = time.perf_counter() - t_start
+    if args.json:
+        d = result.metrics.to_dict()
+        d["wall_seconds_cli"] = elapsed
+        print(json.dumps(d))
+    else:
+        print(result.metrics.format_reference_block(elapsed=elapsed))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -39,7 +39,7 @@ class SWConfig:
     chunk_budget_residues: int = 64 * 1024 * 1024
 
     # --- kernel ------------------------------------------------------------
-    query_strip: int = 16  # query rows per profile strip (MXU matmul width)
+    query_strip: int = 32  # query rows per profile strip (MXU matmul width)
     use_pallas: bool = True  # Pallas kernel on TPU; XLA fallback otherwise
     interpret: bool = False  # Pallas interpret mode (CPU testing)
 

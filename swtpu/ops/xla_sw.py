@@ -1,0 +1,133 @@
+"""Batched Smith-Waterman scoring in pure XLA (jit + lax.scan).
+
+This is the engine's portable kernel and the semantic twin of the Pallas
+kernel in :mod:`swtpu.ops.pallas_sw`.  It replaces the reference's
+one-thread-per-alignment serial matrix fill (src/SWSolver.cu:221-261) with a
+TPU-first decomposition:
+
+* **lane batching** — a bucket of B equal-padded subjects is scored at once;
+  every vector op below runs over a (B, L) tile on the VPU,
+* **MXU score profiles** — substitution lookups become one-hot x profile
+  matmuls (the Farrar "query profile" idea, rebuilt for the MXU): subjects
+  are one-hot encoded once per bucket, then each strip of `strip` query rows
+  is a single (B*L, 32) x (32, strip) int8 matmul producing exact int32
+  scores,
+* **cummax gap rebasing** — the within-row dependency
+  ``H[j] = max(T[j], H[j-1] - g)`` is an associative max-plus recurrence;
+  substituting ``U[j] = H[j] + g*j`` turns it into ``U = cummax(T + g*j)``,
+  one fully-parallel cumulative max per row instead of a serial sweep.
+
+Padding contract (see swtpu.batch.bucketing): subject pad slots hold index
+``PAD_SUBJECT`` (25) and query pad rows hold the all-``PAD_SCORE`` profile
+row.  PAD_SCORE is strictly negative, which is sufficient for pads to never
+raise the running max: any pad cell's value is strictly below the true-region
+max by induction (diag + negative < max; gap moves decay).
+
+Scores are exact int32 and match swtpu.ops.oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabet import PADDED_ALPHABET_SIZE
+
+# Subject pad slots use a residue index outside the real alphabet so padding
+# semantics are matrix-independent (the reference instead relies on its
+# zeroed-'*' matrix row, src/SWSolver.cu:80).
+PAD_SUBJECT = 25
+# Profile value for pad rows/columns; any strictly negative value is
+# score-neutral under the H>=0 clamp (proof in module docstring).
+PAD_SCORE = -16
+
+
+def make_profile(
+    query_idx: np.ndarray,
+    matrix: np.ndarray,
+    pad_rows_to: int = 1,
+) -> np.ndarray:
+    """Build the (qpad, 32) int8 query profile.
+
+    profile[i, r] = matrix[query[i], r] for real residues r; PAD_SCORE for
+    the pad column and for query pad rows.  qpad = ceil(q / pad_rows_to) *
+    pad_rows_to.
+    """
+    q = np.asarray(query_idx, dtype=np.int64)
+    qlen = q.shape[0]
+    qpad = -(-max(qlen, 1) // pad_rows_to) * pad_rows_to
+    prof = np.full((qpad, PADDED_ALPHABET_SIZE), PAD_SCORE, dtype=np.int8)
+    if matrix.min() < -128 or matrix.max() > 127:
+        raise ValueError("substitution matrix does not fit int8 profile")
+    prof[:qlen, : matrix.shape[1]] = matrix[q].astype(np.int8)
+    prof[:qlen, matrix.shape[1] :] = PAD_SCORE
+    return prof
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "strip"))
+def sw_score_bucket(profile: jax.Array, subjects: jax.Array, *, gap: int, strip: int = 16) -> jax.Array:
+    """Max local-alignment score of one query vs B subjects.
+
+    Args:
+      profile: (qpad, 32) int8 query profile, qpad % strip == 0.
+      subjects: (B, L) int8/int32 residue indices, pads = PAD_SUBJECT.
+      gap: linear gap penalty (>0).
+      strip: query rows per MXU profile strip.
+
+    Returns:
+      (B,) int32 max scores.
+    """
+    qpad, A = profile.shape
+    assert qpad % strip == 0, "profile rows must be a multiple of strip"
+    B, L = subjects.shape
+
+    # One-hot the subjects once per bucket: (B, L, 32) int8.
+    lanes = jnp.arange(A, dtype=jnp.int8)
+    oh = (subjects.astype(jnp.int8)[..., None] == lanes).astype(jnp.int8)
+
+    rebase = (jnp.arange(L, dtype=jnp.int32) * gap)[None, :]  # (1, L)
+
+    def row_step(carry, s_row):
+        h_prev, best = carry
+        diag = jnp.pad(h_prev[:, :-1], ((0, 0), (1, 0)))
+        t = jnp.maximum(jnp.maximum(0, diag + s_row), h_prev - gap)
+        # H[j] = max(T[j], H[j-1]-g)  ==  cummax(T + g*j) - g*j
+        h = jax.lax.cummax(t + rebase, axis=1) - rebase
+        # global max H == global max T (H[j] <= max_k T[k], H[j] >= T[j])
+        best = jnp.maximum(best, jnp.max(t, axis=1))
+        return (h, best), None
+
+    def strip_step(carry, prof_strip):
+        # prof_strip: (strip, 32) int8 -> scores (strip, B, L) int32 via MXU
+        s = jax.lax.dot_general(
+            prof_strip,
+            oh,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (strip, B, L)
+        return jax.lax.scan(row_step, carry, s)[0], None
+
+    h0 = jnp.zeros((B, L), jnp.int32)
+    best0 = jnp.zeros((B,), jnp.int32)
+    prof_strips = profile.reshape(qpad // strip, strip, A)
+    (_, best), _ = jax.lax.scan(strip_step, (h0, best0), prof_strips)
+    return best
+
+
+def sw_score_pairs(query_idx: np.ndarray, subjects: list, matrix: np.ndarray, gap: int, strip: int = 16) -> np.ndarray:
+    """Convenience: score a query against a ragged list of subjects.
+
+    Pads all subjects to one width (fine for tests; the engine proper uses
+    length buckets from swtpu.batch.bucketing).
+    """
+    prof = make_profile(query_idx, matrix, pad_rows_to=strip)
+    L = max((len(s) for s in subjects), default=1)
+    L = max(L, 1)
+    batch = np.full((len(subjects), L), PAD_SUBJECT, dtype=np.int8)
+    for i, s in enumerate(subjects):
+        batch[i, : len(s)] = s
+    out = sw_score_bucket(jnp.asarray(prof), jnp.asarray(batch), gap=gap, strip=strip)
+    return np.asarray(out)
