@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gap", type=int, default=2, help="linear gap penalty")
     p.add_argument("--score-dtype", choices=["int32", "int16"], default="int32")
     p.add_argument("--top-k", type=int, default=None, help="print only the K best hits")
+    p.add_argument(
+        "--align-top-k",
+        type=int,
+        default=None,
+        metavar="K",
+        help="reconstruct and print gapped alignments for the K best hits (two-phase traceback)",
+    )
     p.add_argument("--no-scores", action="store_true", help="skip the per-sequence score dump")
     p.add_argument("--json", action="store_true", help="emit metrics as one JSON line")
     p.add_argument("--no-pallas", action="store_true", help="force the XLA kernel")
@@ -62,10 +69,19 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     engine = SearchEngine(config)
     result = engine.search(query, db)
 
+    if args.align_top_k is not None:
+        from .matrices import get_matrix
+        from .models.align import traceback_pair
+
+        matrix = get_matrix(config.matrix)
+        for sid, score in result.top_k(args.align_top_k):
+            aln = traceback_pair(query.residues, db.sequence(sid), matrix, config.gap_penalty, subject_id=sid)
+            print(aln.pretty())
+            print()
     if args.top_k is not None:
         for sid, score in result.top_k(args.top_k):
             print(f"{sid}:{score}")
-    elif not args.no_scores:
+    elif not args.no_scores and args.align_top_k is None:
         out = sys.stdout
         out.write("\n".join(f"{i}:{s}" for i, s in enumerate(result.scores.tolist())))
         out.write("\n")

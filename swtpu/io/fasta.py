@@ -148,6 +148,15 @@ def parse_query(path: str | Path) -> Query:
 def parse_database(path: str | Path, keep_headers: bool = False) -> Database:
     """Parse a multi-record FASTA database (reference: FASTADatabase ctor)."""
     data = Path(path).read_bytes()
+    if not keep_headers:
+        # Fused C++ parse+encode fast path (swtpu.native); output is
+        # bit-identical to the fallback below.
+        from .. import native
+
+        parsed = native.parse_fasta_bytes(data)
+        if parsed is not None:
+            residues, offsets = parsed
+            return Database(residues=residues, offsets=offsets, headers=None)
     recs = _split_records(data)
     # Drop a trailing fully-empty record only if it has no header either.
     recs = [(h, b) for h, b in recs if h or b]

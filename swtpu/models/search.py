@@ -66,6 +66,13 @@ class SearchEngine:
         xla_kernel = lambda prof, subj: xla_sw.sw_score_bucket(  # noqa: E731
             prof, subj, gap=cfg.gap_penalty, strip=cfg.query_strip
         )
+        if cfg.score_dtype == "int16":
+            # Narrow-type saturating mode (legacy char-path parity,
+            # src/SWSolver_char.cu:88): int16 DP state, saturate at 32767;
+            # saturated rows are rescored exactly in int32 by search().
+            return lambda prof, subj: xla_sw.sw_score_bucket_sat16(
+                prof, subj, gap=cfg.gap_penalty, strip=cfg.query_strip
+            )
         on_tpu = any(d.platform == "tpu" for d in jax.devices())
         if cfg.use_pallas and (on_tpu or cfg.interpret):
             from ..ops import pallas_sw
@@ -119,6 +126,21 @@ class SearchEngine:
 
         with timer.phase("reduce"):
             scores = scatter_scores(plan, per_batch)
+
+        if cfg.score_dtype == "int16":
+            # Exact-rescore fallback: any row that hit the saturation ceiling
+            # gets an int32 pass (the legacy char path instead truncated
+            # silently, src/SWSolver.cu:285).
+            with timer.phase("rescore_saturated"):
+                sat_ids = np.nonzero(scores >= xla_sw.SAT16_MAX)[0]
+                if sat_ids.size:
+                    scores = scores.copy()
+                    for sid in sat_ids:
+                        subj = db.sequence(int(sid))[None, :].astype(np.int8)
+                        exact = xla_sw.sw_score_bucket(
+                            jnp.asarray(profile), jnp.asarray(subj), gap=cfg.gap_penalty, strip=cfg.query_strip
+                        )
+                        scores[sid] = int(np.asarray(exact)[0])
 
         wall = time.perf_counter() - t_start
         qpad = profile.shape[0]

@@ -117,6 +117,69 @@ def sw_score_bucket(profile: jax.Array, subjects: jax.Array, *, gap: int, strip:
     return best
 
 
+# Saturation ceiling for the narrow-type scoring mode (int16 max).  The
+# legacy char path stores scores in shorts and silently truncates
+# (src/SWSolver.cu:285, src/SWSolver_char.cu:88); here narrow scores
+# saturate instead, and the engine rescores saturated rows exactly in int32.
+SAT16_MAX = 32767
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "strip"))
+def sw_score_bucket_sat16(profile: jax.Array, subjects: jax.Array, *, gap: int, strip: int = 16) -> jax.Array:
+    """Narrow-type (int16) saturating SW scoring of one query vs B subjects.
+
+    Same contract as :func:`sw_score_bucket` but the DP state is carried as
+    int16 (half the VMEM/HBM traffic of the running H row) and cell values
+    saturate at SAT16_MAX instead of overflowing.  Semantics: scores are
+    exact until a cell would exceed 32767, after which that alignment's
+    score sticks at 32767.  A returned score of SAT16_MAX therefore means
+    "saturated, rescore exactly" — :class:`swtpu.models.search.SearchEngine`
+    does that automatically when ``score_dtype='int16'``.
+
+    Equivalence of the clamped cummax to a cell-by-cell saturating DP: with
+    T_c = min(T, SAT), H[j] = max_k<=j (T_c[k] - g*(j-k)) never exceeds SAT
+    (every term is <= SAT), so the per-cell min(SAT, .) is a no-op and the
+    rebased cummax computes the exact saturating recurrence.
+
+    Returns:
+      (B,) int32 max scores in [0, SAT16_MAX].
+    """
+    qpad, A = profile.shape
+    assert qpad % strip == 0, "profile rows must be a multiple of strip"
+    B, L = subjects.shape
+
+    lanes = jnp.arange(A, dtype=jnp.int8)
+    oh = (subjects.astype(jnp.int8)[..., None] == lanes).astype(jnp.int8)
+
+    rebase = (jnp.arange(L, dtype=jnp.int32) * gap)[None, :]  # (1, L)
+    sat = jnp.int32(SAT16_MAX)
+
+    def row_step(carry, s_row):
+        h_prev16, best = carry
+        h_prev = h_prev16.astype(jnp.int32)
+        diag = jnp.pad(h_prev[:, :-1], ((0, 0), (1, 0)))
+        t = jnp.maximum(jnp.maximum(0, diag + s_row), h_prev - gap)
+        t = jnp.minimum(t, sat)  # saturating add semantics
+        h = jax.lax.cummax(t + rebase, axis=1) - rebase
+        best = jnp.maximum(best, jnp.max(t, axis=1))
+        return (h.astype(jnp.int16), best), None
+
+    def strip_step(carry, prof_strip):
+        s = jax.lax.dot_general(
+            prof_strip,
+            oh,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (strip, B, L)
+        return jax.lax.scan(row_step, carry, s)[0], None
+
+    h0 = jnp.zeros((B, L), jnp.int16)
+    best0 = jnp.zeros((B,), jnp.int32)
+    prof_strips = profile.reshape(qpad // strip, strip, A)
+    (_, best), _ = jax.lax.scan(strip_step, (h0, best0), prof_strips)
+    return best
+
+
 def sw_score_pairs(query_idx: np.ndarray, subjects: list, matrix: np.ndarray, gap: int, strip: int = 16) -> np.ndarray:
     """Convenience: score a query against a ragged list of subjects.
 

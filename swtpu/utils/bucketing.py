@@ -116,6 +116,12 @@ def pack_batch(db: Database, batch: Batch) -> np.ndarray:
     source indices (offset[id] + col), clamp pads, then one fancy-index.
     """
     W, R = batch.width, batch.rows
+    from .. import native
+
+    if db.residues.shape[0]:
+        packed = native.pack_batch_native(db.residues, db.offsets, batch.ids, R, W, PAD_SUBJECT)
+        if packed is not None:
+            return packed
     ids = batch.ids.astype(np.int64)
     offs = db.offsets[ids][:, None]  # (V, 1)
     lens = (db.offsets[ids + 1] - db.offsets[ids])[:, None]  # (V, 1)

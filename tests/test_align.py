@@ -1,0 +1,104 @@
+"""Traceback / alignment-reconstruction tests (cpu.cpp parity).
+
+Covers the two-phase traceback (swtpu.models.align), the standalone
+cpu_align CLI, and cross-checks device scores against traceback scores.
+"""
+
+import numpy as np
+import pytest
+
+from swtpu.alphabet import encode_str
+from swtpu.config import SWConfig
+from swtpu.io.fasta import database_from_sequences, Query
+from swtpu.matrices import blosum50_ref, match_mismatch
+from swtpu.models.align import Alignment, align_top_k, traceback_pair
+from swtpu.ops.oracle import sw_score_scalar, sw_traceback
+
+RNG = np.random.default_rng(11)
+
+
+def _rand_seq(n):
+    return "".join("ARNDCQEGHILKMFPSTWYV"[i] for i in RNG.integers(0, 20, n))
+
+
+def test_traceback_pair_identical_sequences():
+    m = blosum50_ref()
+    s = "MKTAYIAKQR"
+    aln = traceback_pair(encode_str(s), encode_str(s), m, 2)
+    assert aln.aligned_query == s
+    assert aln.aligned_subject == s
+    assert aln.score == int(m[encode_str(s), encode_str(s)].sum())
+    assert aln.query_start == 1 and aln.query_end == len(s)
+
+
+def test_traceback_score_matches_scalar_oracle():
+    m = blosum50_ref()
+    for _ in range(20):
+        q = _rand_seq(int(RNG.integers(5, 40)))
+        s = _rand_seq(int(RNG.integers(5, 60)))
+        aln = traceback_pair(encode_str(q), encode_str(s), m, 2)
+        assert aln.score == sw_score_scalar(encode_str(q), encode_str(s), m, 2)
+
+
+def test_traceback_matches_oracle_traceback():
+    """models.align and ops.oracle.sw_traceback emit identical alignments."""
+    m = blosum50_ref()
+    for _ in range(10):
+        q = _rand_seq(int(RNG.integers(5, 30)))
+        s = _rand_seq(int(RNG.integers(5, 30)))
+        aln = traceback_pair(encode_str(q), encode_str(s), m, 2)
+        score, aq, asub, (ei, ej) = sw_traceback(q, s, m, 2)
+        assert (aln.score, aln.aligned_query, aln.aligned_subject) == (score, aq, asub)
+        assert (aln.query_end, aln.subject_end) == (ei, ej)
+
+
+def test_alignment_gap_semantics():
+    """A forced deletion shows up as '-' in the query row."""
+    m = match_mismatch(3, -3)
+    q = "AAAA"
+    s = "AATAA"
+    aln = traceback_pair(encode_str(q), encode_str(s), m, 2)
+    # best local alignment spans the T with one gap in the query
+    assert aln.score == 4 * 3 - 2
+    assert "-" in aln.aligned_query
+    assert aln.aligned_subject.count("T") == 1
+
+
+def test_align_top_k_end_to_end():
+    m = blosum50_ref()
+    query_s = _rand_seq(48)
+    # Plant the query inside subject 3 so it is the clear best hit.
+    seqs = [_rand_seq(int(RNG.integers(30, 90))) for _ in range(8)]
+    seqs[3] = seqs[3][:10] + query_s + seqs[3][10:]
+    db = database_from_sequences(seqs)
+    q = Query(name="q", residues=encode_str(query_s), raw=query_s)
+    cfg = SWConfig(use_pallas=False, batch_rows=8, length_quantum=8)
+    alns = align_top_k(q, db, k=3, config=cfg)
+    assert len(alns) == 3
+    assert alns[0].subject_id == 3
+    assert alns[0].score == int(m[encode_str(query_s), encode_str(query_s)].sum())
+    assert alns[0].aligned_query == query_s  # exact substring: no gaps
+    assert len(alns[0].midline()) == len(alns[0].aligned_query)
+
+
+def test_cpu_align_cli_format(capsys):
+    """Exact cpu.cpp behaviour: +3/-3, gap 2, gapped strings then matrix."""
+    from swtpu.cpu_align import main
+
+    assert main(["TACGGGCCCGCTAC", "TAGCCCTATCGGTCA"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    # cpu.cpp on this classic example: local alignment of the two sequences.
+    assert out[0].replace("-", "") in "TACGGGCCCGCTAC"
+    assert out[1].replace("-", "") in "TAGCCCTATCGGTCA"
+    assert len(out[0]) == len(out[1])
+    # matrix block: header + (len(seqA)+1) rows
+    assert len(out) == 2 + 1 + len("TACGGGCCCGCTAC") + 1
+
+
+def test_cpu_align_cli_matrix_mode(capsys):
+    from swtpu.cpu_align import main
+
+    assert main(["MKTAYIAK", "MKTAYIAK", "--matrix", "blosum50_ref", "--no-matrix-dump"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "MKTAYIAK"
+    assert out[1] == "MKTAYIAK"
