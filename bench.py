@@ -58,7 +58,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small db, 1 query")
     ap.add_argument("--full", action="store_true", help="all 17 reference query lengths")
     ap.add_argument("--db-size", type=int, default=60000)
-    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--pallas", action="store_true", help="force the Pallas kernel (default: XLA fast16 path)")
     args = ap.parse_args()
 
     from swtpu.config import SWConfig
@@ -69,7 +69,7 @@ def main():
 
     n_seqs = 4000 if args.quick else args.db_size
     db = synth_database(n_seqs)
-    engine = SearchEngine(SWConfig(use_pallas=not args.no_pallas))
+    engine = SearchEngine(SWConfig(use_pallas=args.pallas))
     plan = engine.plan(db)
 
     # The reference Performance suite sweeps query lengths 144..5147; we key

@@ -38,8 +38,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-scores", action="store_true", help="skip the per-sequence score dump")
     p.add_argument("--json", action="store_true", help="emit metrics as one JSON line")
+    p.add_argument("--pallas", action="store_true", help="use the Pallas kernel family")
     p.add_argument("--no-pallas", action="store_true", help="force the XLA kernel")
-    p.add_argument("--batch-rows", type=int, default=256)
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture a jax.profiler trace of the search into DIR (view with xprof/tensorboard)",
+    )
+    p.add_argument("--batch-rows", type=int, default=8192)
     p.add_argument("--length-quantum", type=int, default=128)
     return p
 
@@ -57,7 +64,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         score_dtype=args.score_dtype,
         batch_rows=args.batch_rows,
         length_quantum=args.length_quantum,
-        use_pallas=not args.no_pallas,
+        use_pallas=args.pallas and not args.no_pallas,
         top_k=args.top_k,
     )
 
@@ -67,7 +74,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     db = parse_database(args.db)
 
     engine = SearchEngine(config)
-    result = engine.search(query, db)
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        profile_ctx = contextlib.nullcontext()
+    with profile_ctx:
+        result = engine.search(query, db)
 
     if args.align_top_k is not None:
         from .matrices import get_matrix

@@ -33,14 +33,27 @@ class SWConfig:
     length_quantum: int = 128
     # Max padded subject length per bucket batch row; longer sequences go to
     # wider buckets (no global cap: widest bucket == longest subject).
-    batch_rows: int = 256  # subjects per batch (lane batching)
+    batch_rows: int = 8192  # subjects per batch (throughput scales with rows)
+    # Cap on rows*width cells per batch (rows shrink for wide buckets) —
+    # the analogue of the reference's GPU flush threshold (SWSolver.cu:49).
+    # Sized so every DP row-step processes millions of cells: per-row fixed
+    # costs dominate below ~1M cells/row on v5e (tools/kernel_lab.py).
+    max_batch_cells: int = 1 << 23
     # Upper bound on residues resident per scheduled chunk, the analogue of
-    # the reference's GPU/CPU flush thresholds (src/SWSolver.cu:49-50).
+    # the reference's CPU flush threshold (src/SWSolver.cu:50).
     chunk_budget_residues: int = 64 * 1024 * 1024
+    # Pack-once/search-many: keep the packed database resident in HBM when
+    # its padded cells fit this budget (one kernel dispatch per batch shape
+    # per query instead of one per batch + transfer).
+    device_resident: bool = True
+    device_resident_cells: int = 1 << 30  # 1 GiB of int8 subject cells
 
     # --- kernel ------------------------------------------------------------
     query_strip: int = 32  # query rows per profile strip (MXU matmul width)
-    use_pallas: bool = True  # Pallas kernel on TPU; XLA fallback otherwise
+    # int16 u-space fast path with exact int32 rescore of saturated rows
+    # (results stay bit-exact; ~2x throughput on v5e).
+    fast_saturating: bool = True
+    use_pallas: bool = False  # Pallas kernel (the XLA fast16 path is faster)
     interpret: bool = False  # Pallas interpret mode (CPU testing)
 
     # --- results -----------------------------------------------------------

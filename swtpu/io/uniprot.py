@@ -56,3 +56,24 @@ def convert_dat(
             for _, s in recs:
                 f.write(s + "\n")
     return len(recs)
+
+
+def main(argv=None) -> int:
+    """CLI: ``python -m swtpu.io.uniprot src.dat dst [--fasta] [--no-sort]``
+    (reference parity: src/parse.py converts a UniProt flat file to
+    length-sorted one-sequence-per-line text)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="swtpu.io.uniprot", description="UniProt .dat preprocessor")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--fasta", action="store_true", help="emit FASTA instead of plain lines")
+    p.add_argument("--no-sort", action="store_true", help="keep file order (default: sort by length)")
+    args = p.parse_args(argv)
+    n = convert_dat(args.src, args.dst, sort_by_length=not args.no_sort, fasta=args.fasta)
+    print(f"wrote {n} sequences to {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

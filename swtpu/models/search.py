@@ -28,7 +28,14 @@ from ..config import SWConfig
 from ..io.fasta import Database, Query
 from ..matrices import get_matrix
 from ..ops import xla_sw
-from ..utils.bucketing import BatchPlan, iter_packed, plan_batches, scatter_scores
+from ..utils.bucketing import (
+    BatchPlan,
+    PackedDatabase,
+    iter_packed,
+    pack_database,
+    plan_batches,
+    scatter_scores,
+)
 from ..utils.metrics import PhaseTimer, SearchMetrics
 
 
@@ -62,6 +69,12 @@ class SearchEngine:
         self._kernel = self._select_kernel()
 
     def _select_kernel(self):
+        """Build kernel(prof, subj) -> (scores, rescore_threshold | None).
+
+        Rows scoring >= the returned threshold are saturated lower bounds
+        and must be rescored with the exact int32 kernel; None means the
+        scores are already exact.
+        """
         cfg = self.config
         xla_kernel = lambda prof, subj: xla_sw.sw_score_bucket(  # noqa: E731
             prof, subj, gap=cfg.gap_penalty, strip=cfg.query_strip
@@ -70,8 +83,9 @@ class SearchEngine:
             # Narrow-type saturating mode (legacy char-path parity,
             # src/SWSolver_char.cu:88): int16 DP state, saturate at 32767;
             # saturated rows are rescored exactly in int32 by search().
-            return lambda prof, subj: xla_sw.sw_score_bucket_sat16(
-                prof, subj, gap=cfg.gap_penalty, strip=cfg.query_strip
+            return lambda prof, subj: (
+                xla_sw.sw_score_bucket_sat16(prof, subj, gap=cfg.gap_penalty, strip=cfg.query_strip),
+                xla_sw.SAT16_MAX,
             )
         on_tpu = any(d.platform == "tpu" for d in jax.devices())
         if cfg.use_pallas and (on_tpu or cfg.interpret):
@@ -81,13 +95,32 @@ class SearchEngine:
                 # Very wide buckets exceed the single-program VMEM budget;
                 # route them to the XLA kernel (<0.1% of SwissProt).
                 if subj.shape[1] > pallas_sw.MAX_PALLAS_WIDTH:
-                    return xla_kernel(prof, subj)
-                return pallas_sw.sw_score_bucket(
-                    prof, subj, gap=cfg.gap_penalty, strip=cfg.query_strip, interpret=cfg.interpret
+                    return xla_kernel(prof, subj), None
+                return (
+                    pallas_sw.sw_score_bucket(
+                        prof, subj, gap=cfg.gap_penalty, strip=cfg.query_strip, interpret=cfg.interpret
+                    ),
+                    None,
                 )
 
             return kernel
-        return xla_kernel
+
+        def kernel(prof, subj):
+            # Default hot path: int16 u-space kernel (~2x int32 on v5e) for
+            # buckets narrow enough that all scores < sat stay exact; the
+            # rare saturated row is rescored exactly, so results are always
+            # bit-exact int32.
+            sat = xla_sw.fast16_sat(cfg.gap_penalty, subj.shape[1])
+            if cfg.fast_saturating and sat >= 4096:
+                return (
+                    xla_sw.sw_score_bucket_fast16(
+                        prof, subj, gap=cfg.gap_penalty, strip=cfg.query_strip, sat=sat
+                    ),
+                    sat,
+                )
+            return xla_kernel(prof, subj), None
+
+        return kernel
 
     def plan(self, db: Database) -> BatchPlan:
         cfg = self.config
@@ -95,8 +128,118 @@ class SearchEngine:
             db.lengths,
             batch_rows=cfg.batch_rows,
             length_quantum=cfg.length_quantum,
-            max_batch_cells=min(cfg.chunk_budget_residues, 256 * 512),
+            max_batch_cells=min(cfg.chunk_budget_residues, cfg.max_batch_cells),
         )
+
+    def pack_to_device(self, db: Database, plan: Optional[BatchPlan] = None) -> PackedDatabase:
+        """Pack the whole database into device-resident same-shape stacks.
+
+        Pack-once/search-many: with the database resident in HBM, a search
+        is one stacked-kernel dispatch per distinct batch shape (O(tens))
+        instead of one per batch (O(hundreds)) with a host->device transfer
+        each — the launch/transfer analogue of the reference's per-search
+        re-packing loop (src/SWSolver.cu:309-359), hoisted out of the query
+        path entirely.
+        """
+        if plan is None:
+            plan = self.plan(db)
+        return pack_database(db, plan, device_put=jnp.asarray)
+
+    def _group_threshold(self, width: int) -> Optional[int]:
+        """Saturation/rescore threshold for a group of the given width."""
+        cfg = self.config
+        sat = xla_sw.fast16_sat(cfg.gap_penalty, width)
+        if cfg.score_dtype != "int16" and cfg.fast_saturating and sat >= 4096:
+            return sat
+        return xla_sw.SAT16_MAX if cfg.score_dtype == "int16" else None
+
+    def _packed_step(self):
+        """One jitted function scoring EVERY group of a packed database.
+
+        A query is then a single dispatch regardless of how many distinct
+        batch shapes the plan has — essential when per-launch latency is
+        tens of ms (remote-attached TPU) and still fewer-launches-better
+        locally.  jax.jit retraces per new stack-shape structure and caches
+        thereafter (one compile per database plan per query-pad length).
+        """
+        if getattr(self, "_packed_step_fn", None) is not None:
+            return self._packed_step_fn
+        cfg = self.config
+
+        def step(profile, stacks):
+            outs = []
+            for stack in stacks:
+                width = stack.shape[2]
+                sat = xla_sw.fast16_sat(cfg.gap_penalty, width)
+                if cfg.score_dtype != "int16" and cfg.fast_saturating and sat >= 4096:
+                    outs.append(
+                        xla_sw.sw_score_stack_fast16(
+                            profile, stack, gap=cfg.gap_penalty, strip=cfg.query_strip, sat=sat
+                        )
+                    )
+                else:
+                    outs.append(
+                        xla_sw.sw_score_stack(
+                            profile, stack, gap=cfg.gap_penalty, strip=cfg.query_strip
+                        )
+                    )
+            return tuple(outs)
+
+        self._packed_step_fn = jax.jit(step)
+        return self._packed_step_fn
+
+    def search_packed(self, query: Query, db: Database, packed: PackedDatabase) -> SearchResult:
+        """Search against a device-resident PackedDatabase (fastest path).
+
+        ``db`` is still needed for exact rescoring of saturated rows and for
+        the metrics denominators.
+        """
+        cfg = self.config
+        timer = PhaseTimer()
+        t_start = time.perf_counter()
+
+        with timer.phase("plan"):
+            profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
+            profile_dev = jnp.asarray(profile)
+
+        t_device = time.perf_counter()
+        outs = self._packed_step()(profile_dev, tuple(g.stack for g in packed.groups))
+        per_group = [np.asarray(o) for o in outs]
+        device_seconds = time.perf_counter() - t_device
+
+        with timer.phase("reduce"):
+            scores = np.zeros(packed.n_sequences, dtype=np.int32)
+            sat_ids: List[int] = []
+            for group, flat in zip(packed.groups, per_group):
+                threshold = self._group_threshold(group.width)
+                ids = group.ids.ravel()
+                vals = flat.ravel()
+                valid = ids >= 0
+                scores[ids[valid]] = vals[valid]
+                if threshold is not None and (vals[valid] >= threshold).any():
+                    sat_ids.extend(int(i) for i in ids[valid][vals[valid] >= threshold])
+
+        with timer.phase("rescore_saturated"):
+            for sid in sat_ids:
+                subj = db.sequence(sid)[None, :].astype(np.int8)
+                exact = xla_sw.sw_score_bucket(
+                    profile_dev, jnp.asarray(subj), gap=cfg.gap_penalty, strip=cfg.query_strip
+                )
+                scores[sid] = int(np.asarray(exact)[0])
+
+        wall = time.perf_counter() - t_start
+        qpad = profile.shape[0]
+        metrics = SearchMetrics(
+            query_length=query.length,
+            n_subjects=db.n,
+            residue_sum=db.length_sum,
+            padded8_sum=db.padded_length_sum(8),
+            packed_cells=qpad * packed.total_cells,
+            wall_seconds=wall,
+            device_seconds=max(device_seconds, 1e-12),
+            phases=dict(timer.phases),
+        )
+        return SearchResult(scores=scores, metrics=metrics)
 
     def search(self, query: Query, db: Database, plan: Optional[BatchPlan] = None) -> SearchResult:
         cfg = self.config
@@ -106,12 +249,20 @@ class SearchEngine:
         with timer.phase("plan"):
             if plan is None:
                 plan = self.plan(db)
+
+        # Auto-resident fast path: pack the database into HBM once (cached
+        # per Database object) and search with stacked dispatches.
+        if cfg.device_resident and plan.total_cells <= cfg.device_resident_cells:
+            cached = getattr(self, "_resident", None)
+            if cached is None or cached[0] is not db:
+                self._resident = (db, self.pack_to_device(db, plan))
+            return self.search_packed(query, db, self._resident[1])
             profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
             profile_dev = jnp.asarray(profile)
 
         # Dispatch loop: packing batch k+1 on host overlaps device compute of
         # batch k because jax dispatch is asynchronous.
-        pending: List[jax.Array] = []
+        pending: List[Tuple[jax.Array, Optional[int]]] = []
         t_device = time.perf_counter()
         pack_time = 0.0
         for batch, packed in iter_packed(db, plan):
@@ -120,27 +271,34 @@ class SearchEngine:
             pack_time += time.perf_counter() - t0
             pending.append(self._kernel(profile_dev, subj_dev))
         with timer.phase("device_sync"):
-            per_batch = [np.asarray(p) for p in pending]
+            per_batch = [np.asarray(p) for p, _ in pending]
         device_seconds = time.perf_counter() - t_device - pack_time
         timer.phases["pack_and_put"] = pack_time
 
         with timer.phase("reduce"):
             scores = scatter_scores(plan, per_batch)
 
-        if cfg.score_dtype == "int16":
-            # Exact-rescore fallback: any row that hit the saturation ceiling
-            # gets an int32 pass (the legacy char path instead truncated
-            # silently, src/SWSolver.cu:285).
-            with timer.phase("rescore_saturated"):
-                sat_ids = np.nonzero(scores >= xla_sw.SAT16_MAX)[0]
-                if sat_ids.size:
-                    scores = scores.copy()
-                    for sid in sat_ids:
-                        subj = db.sequence(int(sid))[None, :].astype(np.int8)
-                        exact = xla_sw.sw_score_bucket(
-                            jnp.asarray(profile), jnp.asarray(subj), gap=cfg.gap_penalty, strip=cfg.query_strip
-                        )
-                        scores[sid] = int(np.asarray(exact)[0])
+        # Exact-rescore fallback: rows at/above their batch's saturation
+        # threshold are lower bounds; rescore them with the exact int32
+        # kernel (the legacy char path instead truncated silently,
+        # src/SWSolver.cu:285).  Applies to both the fast16 hot path and
+        # the explicit int16 parity mode.
+        with timer.phase("rescore_saturated"):
+            sat_ids: List[int] = []
+            for batch, (_, threshold), batch_scores in zip(plan.batches, pending, per_batch):
+                if threshold is None:
+                    continue
+                hit = batch_scores[: batch.n_valid] >= threshold
+                if hit.any():
+                    sat_ids.extend(int(i) for i in batch.ids[np.nonzero(hit)[0]])
+            if sat_ids:
+                scores = scores.copy()
+                for sid in sat_ids:
+                    subj = db.sequence(sid)[None, :].astype(np.int8)
+                    exact = xla_sw.sw_score_bucket(
+                        jnp.asarray(profile), jnp.asarray(subj), gap=cfg.gap_penalty, strip=cfg.query_strip
+                    )
+                    scores[sid] = int(np.asarray(exact)[0])
 
         wall = time.perf_counter() - t_start
         qpad = profile.shape[0]

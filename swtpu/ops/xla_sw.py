@@ -69,7 +69,13 @@ def make_profile(
 
 @functools.partial(jax.jit, static_argnames=("gap", "strip"))
 def sw_score_bucket(profile: jax.Array, subjects: jax.Array, *, gap: int, strip: int = 16) -> jax.Array:
-    """Max local-alignment score of one query vs B subjects.
+    """Max local-alignment score of one query vs B subjects (exact int32).
+
+    The row recurrence is carried in *u-space*: u[j] = H[j] + g*j, so the
+    per-row work is just ``u = cummax(max(g*j, u_diag + (s+g), u - g))`` —
+    no un/re-rebasing, and the running best is an elementwise (B, L) max
+    reduced once at the end (measured ~1.6x over the naive form on v5e;
+    see tools/kernel_lab.py).
 
     Args:
       profile: (qpad, 32) int8 query profile, qpad % strip == 0.
@@ -91,14 +97,15 @@ def sw_score_bucket(profile: jax.Array, subjects: jax.Array, *, gap: int, strip:
     rebase = (jnp.arange(L, dtype=jnp.int32) * gap)[None, :]  # (1, L)
 
     def row_step(carry, s_row):
-        h_prev, best = carry
-        diag = jnp.pad(h_prev[:, :-1], ((0, 0), (1, 0)))
-        t = jnp.maximum(jnp.maximum(0, diag + s_row), h_prev - gap)
-        # H[j] = max(T[j], H[j-1]-g)  ==  cummax(T + g*j) - g*j
-        h = jax.lax.cummax(t + rebase, axis=1) - rebase
-        # global max H == global max T (H[j] <= max_k T[k], H[j] >= T[j])
-        best = jnp.maximum(best, jnp.max(t, axis=1))
-        return (h, best), None
+        u_prev, bestu = carry
+        # t_u[j] = max(g*j, u_prev[j-1] + s[j] + g, u_prev[j] - g);
+        # the virtual column -1 boundary has H = 0 hence u = -g.
+        diag_u = jnp.pad(u_prev[:, :-1], ((0, 0), (1, 0)), constant_values=-gap)
+        t_u = jnp.maximum(jnp.maximum(rebase, diag_u + (s_row + gap)), u_prev - gap)
+        # u[j] = max(t_u[j], u[j-1]) == running cummax
+        u = jax.lax.cummax(t_u, axis=1)
+        # global max H == global max T; track max t_u per column, un-rebase once
+        return (u, jnp.maximum(bestu, t_u)), None
 
     def strip_step(carry, prof_strip):
         # prof_strip: (strip, 32) int8 -> scores (strip, B, L) int32 via MXU
@@ -110,11 +117,74 @@ def sw_score_bucket(profile: jax.Array, subjects: jax.Array, *, gap: int, strip:
         )  # (strip, B, L)
         return jax.lax.scan(row_step, carry, s)[0], None
 
-    h0 = jnp.zeros((B, L), jnp.int32)
-    best0 = jnp.zeros((B,), jnp.int32)
+    u0 = jnp.broadcast_to(rebase, (B, L))
     prof_strips = profile.reshape(qpad // strip, strip, A)
-    (_, best), _ = jax.lax.scan(strip_step, (h0, best0), prof_strips)
-    return best
+    (_, bestu), _ = jax.lax.scan(strip_step, (u0, u0), prof_strips)
+    return jnp.max(bestu - rebase, axis=1)
+
+
+# Fast-path saturation margin: profiles are int8, so one substitution adds at
+# most 127 to a cell.
+_PROFILE_MAX = 127
+
+
+def fast16_sat(gap: int, width: int) -> int:
+    """Largest exact score the int16 fast path can certify for a bucket.
+
+    Everything in u-space must fit int16: sat + gap*(L-1) + 127 + gap <=
+    32767.  Scores >= the returned value mean "rescore exactly in int32".
+    Returns <= 0 when the bucket is too wide for int16 (caller falls back).
+    """
+    return 32767 - _PROFILE_MAX - gap * width
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat"))
+def sw_score_bucket_fast16(
+    profile: jax.Array, subjects: jax.Array, *, gap: int, strip: int = 16, sat: int
+) -> jax.Array:
+    """int16 u-space SW scoring: ~2x the int32 kernel's throughput on v5e.
+
+    Identical results to :func:`sw_score_bucket` for every score < ``sat``
+    (use :func:`fast16_sat`); rows that reach ``sat`` are saturated and must
+    be rescored with the exact kernel.  The speedup comes from int16 VPU ops
+    processing 2 elements per 32-bit lane and halving the DP-state traffic.
+
+    Returns:
+      (B,) int32 scores, clamped at sat.
+    """
+    qpad, A = profile.shape
+    assert qpad % strip == 0, "profile rows must be a multiple of strip"
+    B, L = subjects.shape
+    assert 0 < sat <= fast16_sat(gap, L), "sat too large for int16 u-space"
+
+    lanes = jnp.arange(A, dtype=jnp.int8)
+    oh = (subjects.astype(jnp.int8)[..., None] == lanes).astype(jnp.int8)
+
+    rebase = (jnp.arange(L, dtype=jnp.int16) * jnp.int16(gap))[None, :]
+    satu = jnp.int16(sat) + rebase  # per-column clamp in u-space
+    gap16 = jnp.int16(gap)
+
+    def row_step(carry, s_row):
+        u_prev, bestu = carry
+        diag_u = jnp.pad(u_prev[:, :-1], ((0, 0), (1, 0)), constant_values=-gap)
+        t_u = jnp.maximum(jnp.maximum(rebase, diag_u + (s_row + gap16)), u_prev - gap16)
+        t_u = jnp.minimum(t_u, satu)  # saturate: keeps all u-space values in int16
+        u = jax.lax.cummax(t_u, axis=1)
+        return (u, jnp.maximum(bestu, t_u)), None
+
+    def strip_step(carry, prof_strip):
+        s = jax.lax.dot_general(
+            prof_strip,
+            oh,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.int16)
+        return jax.lax.scan(row_step, carry, s)[0], None
+
+    u0 = jnp.broadcast_to(rebase, (B, L))
+    prof_strips = profile.reshape(qpad // strip, strip, A)
+    (_, bestu), _ = jax.lax.scan(strip_step, (u0, u0), prof_strips)
+    return jnp.max((bestu - rebase).astype(jnp.int32), axis=1)
 
 
 # Saturation ceiling for the narrow-type scoring mode (int16 max).  The
@@ -178,6 +248,31 @@ def sw_score_bucket_sat16(profile: jax.Array, subjects: jax.Array, *, gap: int, 
     prof_strips = profile.reshape(qpad // strip, strip, A)
     (_, best), _ = jax.lax.scan(strip_step, (h0, best0), prof_strips)
     return best
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "strip"))
+def sw_score_stack(profile: jax.Array, stack: jax.Array, *, gap: int, strip: int = 16) -> jax.Array:
+    """Exact int32 scoring of a (C, B, L) stack of same-shape batches.
+
+    One dispatch scores C*B subjects: ``lax.map`` runs the bucket kernel
+    serially over the leading axis, so device memory stays bounded by one
+    batch while launch overhead is paid once per *stack* instead of once
+    per batch (critical when dispatch latency is high, and fewer XLA
+    launches always).  Returns (C, B) int32.
+    """
+    return jax.lax.map(
+        lambda s: sw_score_bucket(profile, s, gap=gap, strip=strip), stack
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat"))
+def sw_score_stack_fast16(
+    profile: jax.Array, stack: jax.Array, *, gap: int, strip: int = 16, sat: int
+) -> jax.Array:
+    """fast16 scoring of a (C, B, L) stack (see :func:`sw_score_stack`)."""
+    return jax.lax.map(
+        lambda s: sw_score_bucket_fast16(profile, s, gap=gap, strip=strip, sat=sat), stack
+    )
 
 
 def sw_score_pairs(query_idx: np.ndarray, subjects: list, matrix: np.ndarray, gap: int, strip: int = 16) -> np.ndarray:

@@ -138,7 +138,7 @@ class ShardedSearchEngine:
             db.lengths,
             batch_rows=rows,
             length_quantum=cfg.length_quantum,
-            max_batch_cells=max(256 * 512, rows * cfg.length_quantum),
+            max_batch_cells=max(cfg.max_batch_cells, rows * cfg.length_quantum),
             min_rows=self.n,
         )
 

@@ -46,6 +46,10 @@ def _pow2_floor(x: int) -> int:
     return 1 << (max(x, 1).bit_length() - 1)
 
 
+def _pow2_ceil(x: int) -> int:
+    return 1 << (max(x, 1) - 1).bit_length() if x > 1 else 1
+
+
 @dataclasses.dataclass(frozen=True)
 class Batch:
     """One static-shaped unit of kernel work."""
@@ -78,13 +82,22 @@ class BatchPlan:
 
 def plan_batches(
     lengths: np.ndarray,
-    batch_rows: int = 256,
+    batch_rows: int = 8192,
     length_quantum: int = 128,
-    max_batch_cells: int = 256 * 512,
+    max_batch_cells: int = 1 << 23,
     min_rows: int = 8,
     width_ratio: float = 1.25,
+    min_width: int = 256,
+    min_bucket_rows: int = 256,
 ) -> BatchPlan:
-    """Plan static-shaped batches for a database given its sequence lengths."""
+    """Plan static-shaped batches for a database given its sequence lengths.
+
+    min_width floors the ladder (narrow tiles underutilise the VPU row
+    sweep); min_bucket_rows merges sparse wide classes into the next-wider
+    class so no batch runs with a handful of rows (per-row fixed costs
+    dominate tiny batches — measured 0.4-0.7 GCUPS on 8-64-row wide-tail
+    batches vs 26+ at 4096 rows).
+    """
     n = int(lengths.shape[0])
     if n == 0:
         return BatchPlan(batches=(), n_sequences=0, shapes=())
@@ -93,18 +106,49 @@ def plan_batches(
     # src/SWSolver.cu:309; stability keeps file-order ids within a length).
     order = np.argsort(-lengths, kind="stable").astype(np.int32)
     edges = np.array(
-        width_edges(int(lengths.max()), quantum=length_quantum, ratio=width_ratio),
+        [e for e in width_edges(int(lengths.max()), quantum=length_quantum, ratio=width_ratio) if e >= min_width]
+        or [min_width],
         dtype=np.int64,
     )
+    if edges[0] > min_width:
+        edges = np.concatenate([[min_width], edges])
+    # Pad every sequence to its own ladder edge FIRST, then batch within the
+    # edge bucket: per-sequence padding is bounded by the ladder ratio
+    # (a fixed-row block spanning edges would pad everything in the block
+    # to the block's longest — up to 2x waste on SwissProt-shaped data).
+    sorted_w = edges[np.searchsorted(edges, np.maximum(lengths[order], 1))]
     batches: List[Batch] = []
     pos = 0
+    # Whole-plan budget for merge padding: ~1M extra cells or 1/8 of the
+    # true work, whichever is smaller (the crossover where saved batch
+    # launches stop paying for themselves).
+    absorb_budget = min(1 << 20, int(lengths.sum()) >> 3)
     while pos < n:
-        first_len = int(lengths[order[pos]])
-        width = int(edges[np.searchsorted(edges, max(first_len, 1))])
+        width = int(sorted_w[pos])
+        # widths are descending, so the edge bucket is a contiguous run;
+        # absorb narrower buckets until the group can fill real batches.
+        end = pos + int(np.searchsorted(-sorted_w[pos:], -width, side="right"))
+        while end < n and (end - pos) < min_bucket_rows:
+            w2 = int(sorted_w[end])
+            nxt = end + int(np.searchsorted(-sorted_w[end:], -w2, side="right"))
+            extra = (nxt - end) * (width - w2)
+            if extra > absorb_budget:
+                break
+            absorb_budget -= extra
+            end = nxt
         rows = min(batch_rows, max(min_rows, _pow2_floor(max_batch_cells // width)))
-        take = min(rows, n - pos)
-        batches.append(Batch(ids=order[pos : pos + take].copy(), rows=rows, width=width))
-        pos += take
+        while pos < end:
+            take = min(rows, end - pos)
+            # Partial tail batches declare a quantised row count (pow2 below
+            # 1024, 512-steps above): static-shape count stays O(1) per
+            # width while small buckets stop paying for full pad blocks.
+            if take > 1024:
+                decl = -(-take // 512) * 512
+            else:
+                decl = _pow2_ceil(take)
+            decl = min(rows, max(min_rows, decl))
+            batches.append(Batch(ids=order[pos : pos + take].copy(), rows=decl, width=width))
+            pos += take
     shapes = tuple(sorted({(b.rows, b.width) for b in batches}))
     return BatchPlan(batches=tuple(batches), n_sequences=n, shapes=shapes)
 
@@ -138,6 +182,70 @@ def iter_packed(db: Database, plan: BatchPlan) -> Iterator[Tuple[Batch, np.ndarr
     """Yield (batch, packed subjects) pairs in plan order."""
     for b in plan.batches:
         yield b, pack_batch(db, b)
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedGroup:
+    """All of a plan's batches that share one (rows, width) shape, stacked.
+
+    ``stack`` is a (C, rows, width) int8 array (device-resident when built
+    by the engine); ``ids`` is (C, rows) int64 with -1 marking pad rows.
+    """
+
+    rows: int
+    width: int
+    stack: object  # (C, rows, width) int8 — np.ndarray or jax.Array
+    ids: np.ndarray  # (C, rows) int64, -1 = pad slot
+
+    @property
+    def chunks(self) -> int:
+        return int(self.ids.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedDatabase:
+    """A fully-packed database: one PackedGroup per distinct batch shape.
+
+    Pack-once/search-many: build with :func:`pack_database` (host arrays) or
+    via SearchEngine.pack_to_device (device-resident), then score each group
+    with ONE stacked-kernel dispatch per query.  The reference re-packs the
+    whole database on every search (src/SWSolver.cu:309-359); here packing
+    and the host->device transfer amortise across all queries.
+    """
+
+    groups: Tuple[PackedGroup, ...]
+    n_sequences: int
+
+    @property
+    def total_cells(self) -> int:
+        return sum(g.chunks * g.rows * g.width for g in self.groups)
+
+
+def pack_database(db: Database, plan: BatchPlan, device_put=None) -> PackedDatabase:
+    """Materialise the full plan as stacked same-shape groups.
+
+    device_put (e.g. jnp.asarray or a sharded jax.device_put) is applied to
+    each group's stack so the result can be made device-resident directly.
+    """
+    by_shape: dict = {}
+    for batch in plan.batches:
+        by_shape.setdefault((batch.rows, batch.width), []).append(batch)
+    groups: List[PackedGroup] = []
+    for (rows, width), batches in sorted(by_shape.items()):
+        stack = np.empty((len(batches), rows, width), dtype=np.int8)
+        ids = np.full((len(batches), rows), -1, dtype=np.int64)
+        for c, b in enumerate(batches):
+            stack[c] = pack_batch(db, b)
+            ids[c, : b.n_valid] = b.ids
+        groups.append(
+            PackedGroup(
+                rows=rows,
+                width=width,
+                stack=device_put(stack) if device_put is not None else stack,
+                ids=ids,
+            )
+        )
+    return PackedDatabase(groups=tuple(groups), n_sequences=plan.n_sequences)
 
 
 def scatter_scores(plan: BatchPlan, per_batch_scores: Sequence[np.ndarray]) -> np.ndarray:

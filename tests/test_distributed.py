@@ -1,0 +1,110 @@
+"""Multi-host tests: 2 real processes with jax.distributed on CPU.
+
+Each subprocess initialises jax.distributed against a local coordinator,
+shards the database by process id, runs DistributedSearchEngine.search
+collectively, and prints its merged top-K; the parent asserts both
+processes agree with the single-process engine.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    sys.path.insert(0, os.environ["SWTPU_REPO"])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+
+    from swtpu.parallel import distributed as D
+    D.initialize(coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import parse_database, parse_query
+
+    db = parse_database(os.environ["SWTPU_DB"])
+    q = parse_query(os.environ["SWTPU_QUERY"])
+    eng = D.DistributedSearchEngine(SWConfig(batch_rows=8, length_quantum=8))
+    shard, base = eng.shard_of(db)
+    res = eng.search(q, shard, base, top_k=5)
+    print("RESULT " + json.dumps({"pid": pid, "hits": res.hits,
+                                  "n_local": int(res.local_scores.shape[0]),
+                                  "base": base}))
+    """
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_search(tmp_path):
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import parse_database, parse_query, write_fasta
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(17)
+    seqs = ["".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, int(rng.integers(20, 120)))) for _ in range(30)]
+    db_path = tmp_path / "db.fasta"
+    write_fasta(db_path, seqs)
+    q_path = tmp_path / "q.fasta"
+    write_fasta(q_path, [seqs[7][5:60]], headers=["query"])
+
+    port = _free_port()
+    env = {
+        "SWTPU_REPO": str(REPO),
+        "SWTPU_DB": str(db_path),
+        "SWTPU_QUERY": str(q_path),
+        "PATH": "/usr/bin:/bin",
+        "HOME": "/root",
+        "JAX_PLATFORMS": "cpu",
+        # keep the two CPU processes from spin-fighting for every core
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=280)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
+        d = json.loads(line[len("RESULT ") :])
+        results[d["pid"]] = d
+
+    # Both processes computed the same global top-K.
+    assert results[0]["hits"] == results[1]["hits"]
+    # Shards cover the database exactly.
+    assert results[0]["n_local"] + results[1]["n_local"] == 30
+    assert results[1]["base"] == results[0]["n_local"]
+
+    # And it matches the single-process engine.
+    eng = SearchEngine(SWConfig(batch_rows=8, length_quantum=8))
+    res = eng.search(parse_query(q_path), parse_database(db_path))
+    want = [[int(i), int(s)] for i, s in res.top_k(5)]
+    assert results[0]["hits"] == want

@@ -66,6 +66,25 @@ def test_pallas_profile_lane_padding():
     assert got[0] == int(m[q.astype(np.int64), q.astype(np.int64)].sum())
 
 
+def test_pallas_fast16_matches_exact():
+    """Fused fast16 kernel == exact kernel below saturation, incl. ragged B."""
+    from swtpu.ops.xla_sw import fast16_sat
+
+    m = blosum50_ref()
+    q = RNG.integers(0, 25, 24).astype(np.int8)
+    prof = make_profile(q, m, pad_rows_to=8)
+    seqs = [RNG.integers(0, 25, int(RNG.integers(1, L))).astype(np.int8) for _ in range(3)]
+    subj = _pack(seqs, 3)  # B=3 not a multiple of tile_b: wrapper pads
+    sat = fast16_sat(2, L)
+    got = np.asarray(
+        pallas_sw.sw_score_bucket_fast16(
+            jnp.asarray(prof), jnp.asarray(subj), gap=2, strip=8, sat=sat, tile_b=2, interpret=True
+        )
+    )
+    want = np.asarray(sw_score_bucket(jnp.asarray(prof), jnp.asarray(subj), gap=2, strip=8))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_multi_tile_grid():
     """B > tile_b exercises the grid dimension (4 programs of 2 rows)."""
     m = blosum50_ref()

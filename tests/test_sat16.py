@@ -69,6 +69,50 @@ def test_engine_int16_mode_rescues_saturated_rows():
     np.testing.assert_array_equal(res.scores, want)
 
 
+def test_fast16_matches_exact_kernel():
+    m = blosum50_ref()
+    q = RNG.integers(0, 25, 48).astype(np.int8)
+    prof = xla_sw.make_profile(q, m, pad_rows_to=16)
+    seqs = [RNG.integers(0, 25, int(RNG.integers(1, 250))).astype(np.int8) for _ in range(16)]
+    subj = _pack(seqs, 16, 256)
+    sat = xla_sw.fast16_sat(2, 256)
+    fast = np.asarray(xla_sw.sw_score_bucket_fast16(prof, subj, gap=2, strip=16, sat=sat))
+    exact = np.asarray(xla_sw.sw_score_bucket(prof, subj, gap=2, strip=16))
+    assert exact.max() < sat
+    np.testing.assert_array_equal(fast, exact)
+
+
+def test_fast16_saturates_at_sat():
+    m = blosum50()
+    w = encode_str("W" * 3000)  # 3000*15 = 45000 >> any valid sat
+    prof = xla_sw.make_profile(w, m, pad_rows_to=16)
+    subj = _pack([w], 1, 3072)
+    sat = xla_sw.fast16_sat(2, 3072)
+    got = np.asarray(xla_sw.sw_score_bucket_fast16(prof, subj, gap=2, strip=16, sat=sat))
+    assert got[0] == sat  # clamped lower bound -> engine rescores
+
+
+def test_engine_fast_path_default_bit_exact():
+    """The default config routes through fast16 + rescore and stays exact."""
+    w_run = "W" * 2500
+    seqs = [
+        "".join("ARNDCQEGHILKMFPSTWYV"[i] for i in RNG.integers(0, 20, 120)),
+        w_run,
+        "".join("ARNDCQEGHILKMFPSTWYV"[i] for i in RNG.integers(0, 20, 60)),
+    ]
+    db = database_from_sequences(seqs)
+    q = Query(name="q", residues=encode_str(w_run), raw=w_run)
+    cfg = SWConfig(matrix="blosum50", batch_rows=8, length_quantum=8)
+    assert cfg.fast_saturating
+    res = SearchEngine(cfg).search(q, db)
+    want = np.array(
+        [sw_score_diag(encode_str(w_run), encode_str(s), blosum50(), 2) for s in seqs],
+        dtype=np.int32,
+    )
+    assert want[1] == 37500
+    np.testing.assert_array_equal(res.scores, want)
+
+
 def test_sat16_random_cross_check_vs_oracle():
     m = blosum50_ref()
     for _ in range(3):
