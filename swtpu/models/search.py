@@ -66,6 +66,8 @@ class SearchEngine:
         enable_compilation_cache()
         self.config = config
         self.matrix = get_matrix(config.matrix)
+        # int8 score staging is exact iff every folded score fits int8.
+        self._stage_int8 = int(self.matrix.max()) + config.gap_penalty <= 127
         self._kernel = self._select_kernel()
 
     def _select_kernel(self):
@@ -114,7 +116,12 @@ class SearchEngine:
             if cfg.fast_saturating and sat >= 4096:
                 return (
                     xla_sw.sw_score_bucket_fast16(
-                        prof, subj, gap=cfg.gap_penalty, strip=cfg.query_strip, sat=sat
+                        prof,
+                        subj,
+                        gap=cfg.gap_penalty,
+                        strip=cfg.query_strip,
+                        sat=sat,
+                        stage_int8=self._stage_int8,
                     ),
                     sat,
                 )
@@ -165,6 +172,7 @@ class SearchEngine:
         if getattr(self, "_packed_step_fn", None) is not None:
             return self._packed_step_fn
         cfg = self.config
+        stage_int8 = self._stage_int8
 
         def step(profile, stacks):
             outs = []
@@ -174,7 +182,12 @@ class SearchEngine:
                 if cfg.score_dtype != "int16" and cfg.fast_saturating and sat >= 4096:
                     outs.append(
                         xla_sw.sw_score_stack_fast16(
-                            profile, stack, gap=cfg.gap_penalty, strip=cfg.query_strip, sat=sat
+                            profile,
+                            stack,
+                            gap=cfg.gap_penalty,
+                            strip=cfg.query_strip,
+                            sat=sat,
+                            stage_int8=stage_int8,
                         )
                     )
                 else:

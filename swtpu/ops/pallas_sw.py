@@ -123,109 +123,109 @@ def _kernel(
     out_ref[:] = jnp.broadcast_to(jnp.max(best_ref[:], axis=1, keepdims=True), out_ref.shape)
 
 
-def _ks_cummax_i16(u):
-    """Kogge-Stone doubling cummax along lanes (int16)."""
+def _ks_cummax(u):
+    """Kogge-Stone doubling cummax along lanes (int32)."""
     L = u.shape[-1]
     shift = 1
     while shift < L:
-        shifted = jnp.pad(u[:, :-shift], ((0, 0), (shift, 0)), constant_values=jnp.int16(-(1 << 15)))
+        shifted = jnp.pad(u[:, :-shift], ((0, 0), (shift, 0)), constant_values=NEG_LARGE)
         u = jnp.maximum(u, shifted)
         shift *= 2
     return u
 
 
-def _fast16_kernel(
+def _fused_kernel(
     profile_ref,  # (qpad, 128) int8 VMEM — query profile with +gap folded in
     subj_ref,  # (TILE_B, L) int8 VMEM
     out_ref,  # (TILE_B, 128) int32
     oh_ref,  # (TILE_B, 128, L) int8 scratch
-    s_ref,  # (strip, TILE_B, L) int16 scratch
-    u_ref,  # (TILE_B, L) int16 scratch — u-space DP row
-    best_ref,  # (TILE_B, L) int16 scratch — per-lane max of t_u
+    s_ref,  # (TILE_B, strip, L) int32 scratch
+    u_ref,  # (TILE_B, L) int32 scratch — u-space DP row
+    best_ref,  # (TILE_B, L) int32 scratch — per-lane max of t_u
     *,
     gap: int,
     strip: int,
     n_strips: int,
     tile_b: int,
-    sat: int,
 ):
-    """Fused fast16 kernel: whole DP state lives in VMEM.
+    """Fused exact-int32 u-space kernel: whole DP state lives in VMEM.
 
-    Same u-space int16 algorithm as xla_sw.sw_score_bucket_fast16, but the
-    row carries (u, best) and the staged strip scores never round-trip HBM —
-    the XLA path's ~10 bytes/cell of carry traffic (its throughput ceiling)
-    becomes zero.  The substitution lookup stays an MXU one-hot matmul per
-    (strip, subject).
+    Same u-space algorithm as the XLA kernels, but the row carries (u, best)
+    and the staged strip scores never round-trip HBM — the XLA path's ~10
+    bytes/cell of carry traffic (its throughput ceiling) becomes zero.  The
+    substitution lookup stays an MXU one-hot matmul per (strip, subject).
+    State is int32: this Mosaic toolchain cannot compile packed-int16
+    vector max (verified minimal repro), so the narrow-type trick stays an
+    XLA-path-only optimisation.
     """
     B, L = subj_ref.shape
 
-    alpha = jax.lax.broadcasted_iota(jnp.int32, (KERNEL_ALPHABET, L), 0)
-    for b in range(tile_b):
-        row = subj_ref[b : b + 1, :].astype(jnp.int32)  # (1, L)
-        oh_ref[b] = (jnp.broadcast_to(row, (KERNEL_ALPHABET, L)) == alpha).astype(jnp.int8)
+    # One broadcasted compare builds every subject's transposed one-hot.
+    alpha3 = jax.lax.broadcasted_iota(jnp.int32, (tile_b, KERNEL_ALPHABET, L), 1)
+    subj3 = subj_ref[:].astype(jnp.int32)[:, None, :]
+    oh_ref[:] = (jnp.broadcast_to(subj3, (tile_b, KERNEL_ALPHABET, L)) == alpha3).astype(jnp.int8)
 
-    rebase = (jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) * gap).astype(jnp.int16)
-    satu = jnp.int16(sat) + rebase
+    rebase = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) * gap
     u_ref[:] = rebase
     best_ref[:] = rebase
 
-    def strip_body(k, _):
+    def matmul_body(b, k):
         prof = profile_ref[pl.ds(k * strip, strip), :]  # (strip, 128) int8
-        for b in range(tile_b):
-            s_ref[:, b, :] = jax.lax.dot_general(
-                prof,
-                oh_ref[b],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.int16)
+        s_ref[b] = jax.lax.dot_general(
+            prof,
+            oh_ref[b],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return k
+
+    def strip_body(k, _):
+        jax.lax.fori_loop(0, tile_b, matmul_body, k)
+        # Rows are unrolled (static s_ref index on the middle dim); the
+        # strip body itself is traced once inside the fori_loop.
         for r in range(strip):
-            s_row = s_ref[r]  # (TILE_B, L) int16, scores with +gap folded in
+            s_row = s_ref[:, r, :]  # (TILE_B, L) int32, +gap folded in
             u_prev = u_ref[:]
             diag_u = jnp.pad(u_prev[:, :-1], ((0, 0), (1, 0)), constant_values=-gap)
-            t_u = jnp.maximum(
-                jnp.maximum(rebase, diag_u + s_row), u_prev - jnp.int16(gap)
-            )
-            t_u = jnp.minimum(t_u, satu)
-            u_ref[:] = _ks_cummax_i16(t_u)
+            t_u = jnp.maximum(jnp.maximum(rebase, diag_u + s_row), u_prev - gap)
+            u_ref[:] = _ks_cummax(t_u)
             best_ref[:] = jnp.maximum(best_ref[:], t_u)
         return 0
 
     jax.lax.fori_loop(0, n_strips, strip_body, 0)
-    best = jnp.max((best_ref[:] - rebase).astype(jnp.int32), axis=1, keepdims=True)
+    best = jnp.max(best_ref[:] - rebase, axis=1, keepdims=True)
     out_ref[:] = jnp.broadcast_to(best, out_ref.shape)
 
 
-def _fast16_tile_b(L: int) -> int:
-    """Widest power-of-two subject tile whose one-hot fits ~4 MB of VMEM."""
-    return max(8, min(64, (4 << 20) // (KERNEL_ALPHABET * max(L, 1))))
+def _fused_tile_b(L: int) -> int:
+    """Widest power-of-two subject tile whose one-hot fits ~2 MB of VMEM."""
+    return max(8, min(32, (2 << 20) // (KERNEL_ALPHABET * max(L, 1))))
 
 
-@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat", "tile_b", "interpret"))
-def sw_score_bucket_fast16(
+@functools.partial(jax.jit, static_argnames=("gap", "strip", "tile_b", "interpret"))
+def sw_score_bucket_fused(
     profile: jax.Array,
     subjects: jax.Array,
     *,
     gap: int,
     strip: int = 32,
-    sat: int,
     tile_b: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused Pallas fast16 scoring (contract of xla_sw.sw_score_bucket_fast16).
+    """Fused exact Pallas scoring (contract of xla_sw.sw_score_bucket).
 
     profile: (qpad, 32+) int8, qpad % strip == 0; +gap is folded in here.
-    subjects: (B, L) int8, pads = PAD_SUBJECT; B % tile_b == 0 after the
-    wrapper pads B up.  Returns (B,) int32 scores clamped at `sat`.
+    subjects: (B, L) int8, pads = PAD_SUBJECT (any B: the wrapper pads up
+    to a tile multiple).  Returns (B,) exact int32 scores.
     """
     qpad, A = profile.shape
     assert qpad % strip == 0
     B, L = subjects.shape
     if tile_b <= 0:
-        tile_b = _fast16_tile_b(L)
+        tile_b = _fused_tile_b(L)
     tile_b = min(tile_b, B)
-    from .xla_sw import PAD_SCORE, fast16_sat
+    from .xla_sw import PAD_SCORE
 
-    assert 0 < sat <= fast16_sat(gap, L)
     pad_b = (-B) % tile_b
     if pad_b:
         subjects = jnp.pad(subjects, ((0, pad_b), (0, 0)), constant_values=PAD_SUBJECT)
@@ -238,7 +238,7 @@ def sw_score_bucket_fast16(
     n_strips = qpad // strip
 
     kernel = functools.partial(
-        _fast16_kernel, gap=gap, strip=strip, n_strips=n_strips, tile_b=tile_b, sat=sat
+        _fused_kernel, gap=gap, strip=strip, n_strips=n_strips, tile_b=tile_b
     )
     out = pl.pallas_call(
         kernel,
@@ -251,9 +251,9 @@ def sw_score_bucket_fast16(
         out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((tile_b, KERNEL_ALPHABET, L), jnp.int8),
-            pltpu.VMEM((strip, tile_b, L), jnp.int16),
-            pltpu.VMEM((tile_b, L), jnp.int16),
-            pltpu.VMEM((tile_b, L), jnp.int16),
+            pltpu.VMEM((tile_b, strip, L), jnp.int32),
+            pltpu.VMEM((tile_b, L), jnp.int32),
+            pltpu.VMEM((tile_b, L), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * L * qpad * 2,
@@ -263,6 +263,27 @@ def sw_score_bucket_fast16(
         interpret=interpret,
     )(profile, subjects)
     return out[:B, 0]
+
+
+def sw_score_bucket_fast16(
+    profile: jax.Array,
+    subjects: jax.Array,
+    *,
+    gap: int,
+    strip: int = 32,
+    sat: int,
+    tile_b: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """fast16-contract wrapper over the fused exact kernel.
+
+    The fused kernel is exact int32, so matching xla_sw.sw_score_bucket_fast16
+    (scores exact below `sat`, clamped at `sat`) is a final clamp.
+    """
+    out = sw_score_bucket_fused(
+        profile, subjects, gap=gap, strip=strip, tile_b=tile_b, interpret=interpret
+    )
+    return jnp.minimum(out, jnp.int32(sat))
 
 
 @functools.partial(jax.jit, static_argnames=("gap", "strip", "tile_b", "interpret"))

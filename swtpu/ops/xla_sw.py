@@ -138,16 +138,27 @@ def fast16_sat(gap: int, width: int) -> int:
     return 32767 - _PROFILE_MAX - gap * width
 
 
-@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat"))
+@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat", "stage_int8"))
 def sw_score_bucket_fast16(
-    profile: jax.Array, subjects: jax.Array, *, gap: int, strip: int = 16, sat: int
+    profile: jax.Array,
+    subjects: jax.Array,
+    *,
+    gap: int,
+    strip: int = 16,
+    sat: int,
+    stage_int8: bool = False,
 ) -> jax.Array:
-    """int16 u-space SW scoring: ~2x the int32 kernel's throughput on v5e.
+    """int16 u-space SW scoring: the engine's hot path (~50 GCUPS on v5e).
 
     Identical results to :func:`sw_score_bucket` for every score < ``sat``
     (use :func:`fast16_sat`); rows that reach ``sat`` are saturated and must
-    be rescored with the exact kernel.  The speedup comes from int16 VPU ops
-    processing 2 elements per 32-bit lane and halving the DP-state traffic.
+    be rescored with the exact kernel.  Optimisations (tools/kernel_lab.py):
+    int16 VPU ops pack 2 per 32-bit lane and halve DP-state traffic; the gap
+    is folded into the profile (one-hot rows sum to 1, so s' = S + g
+    exactly), saving one add per row; with ``stage_int8`` the staged strip
+    scores are int8, halving their traffic again — the CALLER must
+    guarantee matrix_max + gap <= 127 (true for every BLOSUM-class matrix;
+    SearchEngine checks it from the actual matrix).
 
     Returns:
       (B,) int32 scores, clamped at sat.
@@ -163,11 +174,19 @@ def sw_score_bucket_fast16(
     rebase = (jnp.arange(L, dtype=jnp.int16) * jnp.int16(gap))[None, :]
     satu = jnp.int16(sat) + rebase  # per-column clamp in u-space
     gap16 = jnp.int16(gap)
+    if stage_int8:
+        # Fold +g into the substitution scores (exact: one-hot rows sum to
+        # 1); fits int8 because the caller guarantees matrix_max + gap <= 127.
+        profile = (profile.astype(jnp.int16) + gap16).astype(jnp.int8)
+        stage_dtype = jnp.int8
+    else:
+        stage_dtype = jnp.int16
 
     def row_step(carry, s_row):
         u_prev, bestu = carry
+        diag = s_row.astype(jnp.int16) if stage_int8 else s_row.astype(jnp.int16) + gap16
         diag_u = jnp.pad(u_prev[:, :-1], ((0, 0), (1, 0)), constant_values=-gap)
-        t_u = jnp.maximum(jnp.maximum(rebase, diag_u + (s_row + gap16)), u_prev - gap16)
+        t_u = jnp.maximum(jnp.maximum(rebase, diag_u + diag), u_prev - gap16)
         t_u = jnp.minimum(t_u, satu)  # saturate: keeps all u-space values in int16
         u = jax.lax.cummax(t_u, axis=1)
         return (u, jnp.maximum(bestu, t_u)), None
@@ -178,7 +197,7 @@ def sw_score_bucket_fast16(
             oh,
             dimension_numbers=(((1,), (2,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.int16)
+        ).astype(stage_dtype)
         return jax.lax.scan(row_step, carry, s)[0], None
 
     u0 = jnp.broadcast_to(rebase, (B, L))
@@ -265,13 +284,14 @@ def sw_score_stack(profile: jax.Array, stack: jax.Array, *, gap: int, strip: int
     )
 
 
-@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat"))
+@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat", "stage_int8"))
 def sw_score_stack_fast16(
-    profile: jax.Array, stack: jax.Array, *, gap: int, strip: int = 16, sat: int
+    profile: jax.Array, stack: jax.Array, *, gap: int, strip: int = 16, sat: int, stage_int8: bool = False
 ) -> jax.Array:
     """fast16 scoring of a (C, B, L) stack (see :func:`sw_score_stack`)."""
     return jax.lax.map(
-        lambda s: sw_score_bucket_fast16(profile, s, gap=gap, strip=strip, sat=sat), stack
+        lambda s: sw_score_bucket_fast16(profile, s, gap=gap, strip=strip, sat=sat, stage_int8=stage_int8),
+        stack,
     )
 
 

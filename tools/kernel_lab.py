@@ -183,3 +183,41 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat"))
+def v5_int16_unrolled(profile, subjects, *, gap, strip, sat):
+    """fast16 with rows unrolled inside the strip scan + explicit Kogge-Stone:
+    u/bestu carries materialise once per strip instead of once per row."""
+    qpad, A = profile.shape
+    B, L = subjects.shape
+    lanes = jnp.arange(A, dtype=jnp.int8)
+    oh = (subjects.astype(jnp.int8)[..., None] == lanes).astype(jnp.int8)
+    rebase = (jnp.arange(L, dtype=jnp.int16) * gap)[None, :]
+    satu = jnp.int16(sat) + rebase
+    gap16 = jnp.int16(gap)
+    NEG = jnp.int16(-(1 << 15))
+
+    def ks(u):
+        shift = 1
+        while shift < L:
+            u = jnp.maximum(u, jnp.pad(u[:, :-shift], ((0, 0), (shift, 0)), constant_values=NEG))
+            shift *= 2
+        return u
+
+    def strip_step(carry, prof_strip):
+        u, bestu = carry
+        s = jax.lax.dot_general(
+            prof_strip, oh, dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int16)
+        for r in range(strip):
+            diag_u = jnp.pad(u[:, :-1], ((0, 0), (1, 0)), constant_values=-gap)
+            t_u = jnp.maximum(jnp.maximum(rebase, diag_u + (s[r] + gap16)), u - gap16)
+            t_u = jnp.minimum(t_u, satu)
+            u = ks(t_u)
+            bestu = jnp.maximum(bestu, t_u)
+        return (u, bestu), None
+
+    u0 = jnp.broadcast_to(rebase, (B, L))
+    (_, bestu), _ = jax.lax.scan(strip_step, (u0, u0), profile.reshape(qpad // strip, strip, A))
+    return jnp.max((bestu - rebase).astype(jnp.int32), axis=1)
