@@ -196,7 +196,9 @@ class SearchEngine:
                             profile, stack, gap=cfg.gap_penalty, strip=cfg.query_strip
                         )
                     )
-            return tuple(outs)
+            # One flat output => ONE device->host transfer for the whole
+            # query (per-group transfers each pay a dispatch round trip).
+            return jnp.concatenate([o.reshape(-1) for o in outs])
 
         self._packed_step_fn = jax.jit(step)
         return self._packed_step_fn
@@ -216,17 +218,21 @@ class SearchEngine:
             profile_dev = jnp.asarray(profile)
 
         t_device = time.perf_counter()
-        outs = self._packed_step()(profile_dev, tuple(g.stack for g in packed.groups))
-        per_group = [np.asarray(o) for o in outs]
+        flat_all = np.asarray(
+            self._packed_step()(profile_dev, tuple(g.stack for g in packed.groups))
+        )
         device_seconds = time.perf_counter() - t_device
 
         with timer.phase("reduce"):
             scores = np.zeros(packed.n_sequences, dtype=np.int32)
             sat_ids: List[int] = []
-            for group, flat in zip(packed.groups, per_group):
+            off = 0
+            for group in packed.groups:
+                size = group.chunks * group.rows
+                vals = flat_all[off : off + size]
+                off += size
                 threshold = self._group_threshold(group.width)
                 ids = group.ids.ravel()
-                vals = flat.ravel()
                 valid = ids >= 0
                 scores[ids[valid]] = vals[valid]
                 if threshold is not None and (vals[valid] >= threshold).any():
