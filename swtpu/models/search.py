@@ -147,10 +147,52 @@ class SearchEngine:
         each — the launch/transfer analogue of the reference's per-search
         re-packing loop (src/SWSolver.cu:309-359), hoisted out of the query
         path entirely.
+
+        With ``segment_packing`` (default) every sequence shorter than
+        seg_width goes into shared segment-packed rows (swtpu.utils.segpack)
+        and only the long tail uses width-ladder batches.
         """
-        if plan is None:
-            plan = self.plan(db)
-        return pack_database(db, plan, device_put=jnp.asarray)
+        cfg = self.config
+        if not cfg.segment_packing or cfg.score_dtype == "int16" or not cfg.fast_saturating:
+            if plan is None:
+                plan = self.plan(db)
+            return pack_database(db, plan, device_put=jnp.asarray)
+
+        from ..utils import segpack
+
+        lengths = db.lengths
+        short = lengths < cfg.seg_width
+        seg_groups = segpack.pack_seg_groups(
+            db,
+            lengths[short],
+            np.nonzero(short)[0],
+            gap=cfg.gap_penalty,
+            width=cfg.seg_width,
+            s_max=cfg.seg_s_max,
+            batch_rows=cfg.batch_rows,
+            device_put=jnp.asarray,
+        )
+        long_idx = np.nonzero(~short)[0]
+        if long_idx.size:
+            long_plan = plan_batches(
+                lengths[long_idx],
+                batch_rows=cfg.batch_rows,
+                length_quantum=cfg.length_quantum,
+                max_batch_cells=min(cfg.chunk_budget_residues, cfg.max_batch_cells),
+                min_width=cfg.seg_width,
+            )
+            # remap the subset plan's positional ids to global database ids
+            remapped = dataclasses.replace(
+                long_plan,
+                batches=tuple(
+                    dataclasses.replace(b, ids=long_idx[b.ids].astype(np.int64)) for b in long_plan.batches
+                ),
+            )
+            packed_long = pack_database(db, remapped, device_put=jnp.asarray)
+            groups = packed_long.groups
+        else:
+            groups = ()
+        return PackedDatabase(groups=groups, n_sequences=db.n, seg_groups=tuple(seg_groups))
 
     def _group_threshold(self, width: int) -> Optional[int]:
         """Saturation/rescore threshold for a group of the given width."""
@@ -174,7 +216,7 @@ class SearchEngine:
         cfg = self.config
         stage_int8 = self._stage_int8
 
-        def step(profile, stacks):
+        def step(profile, stacks, seg_inputs, seg_sats):
             outs = []
             for stack in stacks:
                 width = stack.shape[2]
@@ -196,11 +238,24 @@ class SearchEngine:
                             profile, stack, gap=cfg.gap_penalty, strip=cfg.query_strip
                         )
                     )
+            for (stack, rebases, ends), sat in zip(seg_inputs, seg_sats):
+                outs.append(
+                    xla_sw.sw_score_stack_seg16(
+                        profile,
+                        stack,
+                        rebases,
+                        ends,
+                        gap=cfg.gap_penalty,
+                        strip=cfg.query_strip,
+                        sat=sat,
+                        stage_int8=stage_int8,
+                    )
+                )
             # One flat output => ONE device->host transfer for the whole
             # query (per-group transfers each pay a dispatch round trip).
             return jnp.concatenate([o.reshape(-1) for o in outs])
 
-        self._packed_step_fn = jax.jit(step)
+        self._packed_step_fn = jax.jit(step, static_argnames=("seg_sats",))
         return self._packed_step_fn
 
     def search_packed(self, query: Query, db: Database, packed: PackedDatabase) -> SearchResult:
@@ -217,9 +272,16 @@ class SearchEngine:
             profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
             profile_dev = jnp.asarray(profile)
 
+        from ..utils import segpack
+
         t_device = time.perf_counter()
         flat_all = np.asarray(
-            self._packed_step()(profile_dev, tuple(g.stack for g in packed.groups))
+            self._packed_step()(
+                profile_dev,
+                tuple(g.stack for g in packed.groups),
+                tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
+                tuple(g.sat for g in packed.seg_groups),
+            )
         )
         device_seconds = time.perf_counter() - t_device
 
@@ -237,6 +299,16 @@ class SearchEngine:
                 scores[ids[valid]] = vals[valid]
                 if threshold is not None and (vals[valid] >= threshold).any():
                     sat_ids.extend(int(i) for i in ids[valid][vals[valid] >= threshold])
+            for group in packed.seg_groups:
+                for batch in group.batches:
+                    size = batch.rows * batch.s_max
+                    z = flat_all[off : off + size].reshape(batch.rows, batch.s_max)
+                    off += size
+                    ids, vals = segpack.extract_scores(batch, z, group.sat)
+                    scores[ids] = vals
+                    hit = vals >= group.sat
+                    if hit.any():
+                        sat_ids.extend(int(i) for i in ids[hit])
 
         with timer.phase("rescore_saturated"):
             for sid in sat_ids:

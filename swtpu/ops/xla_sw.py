@@ -269,6 +269,122 @@ def sw_score_bucket_sat16(profile: jax.Array, subjects: jax.Array, *, gap: int, 
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat", "stage_int8"))
+def sw_score_bucket_seg16(
+    profile: jax.Array,
+    subjects: jax.Array,
+    rebase: jax.Array,
+    seg_ends: jax.Array,
+    *,
+    gap: int,
+    strip: int = 16,
+    sat: int,
+    stage_int8: bool = False,
+) -> jax.Array:
+    """Segment-packed fast16 scoring: several subjects share one batch row.
+
+    The engine packs multiple short sequences into a single row (one pad
+    column between them) and suppresses every cross-segment interaction
+    with the rebase vector alone: within segment s, ``rebase[j] = g*j' +
+    s*D`` (j' = global column, D > sat).  In u-space a contribution from a
+    previous segment arrives attenuated by at least D - sat < 0 while real
+    candidates are >= 0, so segments are exactly independent — no masking,
+    no extra per-row work, identical inner loop to
+    :func:`sw_score_bucket_fast16`.
+
+    The boundary math is exact: the separator column p carries the D jump,
+    so H[*, p] == 0 by induction (all inbound candidates are suppressed or
+    negative) and the first column of the next segment sees diagonal
+    u_prev[p] + s + g == r[j0] + s — precisely the fresh-boundary value.
+
+    Per-segment scores: bestu holds the per-column max of t_u; adding a
+    host-built jump-only vector (J - r, folded by the caller into
+    ``rebase`` being passed... see below) would need a second input, so
+    instead this kernel returns the per-column best in u-space and the
+    segmented reduction happens here: ``z = cummax(bestu + (J - r))`` where
+    J - r == -g*j' is reconstructed from a plain iota, then ``z`` gathered
+    at ``seg_ends`` gives each segment's max H plus its J offset, which the
+    caller's host code removes.
+
+    Args:
+      profile: (qpad, 32) int8, qpad % strip == 0.
+      subjects: (B, L) int8, pads = PAD_SUBJECT.
+      rebase: (B, L) int16 host-built u-space rebase with D jumps.
+      seg_ends: (B, S) int32 last real column of each segment (repeat the
+        last segment's end for unused slots).
+      gap, strip, sat, stage_int8: as in sw_score_bucket_fast16; the caller
+        guarantees S_max * (sat + 1) + gap * L + 127 <= 32767.
+
+    Returns:
+      (B, S) int32 per-segment max scores in u-jump space: value =
+      max H of segment s + s*D'; the caller subtracts the known per-slot
+      jump offsets (swtpu.utils.segpack.extract_scores).
+    """
+    qpad, A = profile.shape
+    assert qpad % strip == 0, "profile rows must be a multiple of strip"
+    B, L = subjects.shape
+
+    lanes = jnp.arange(A, dtype=jnp.int8)
+    oh = (subjects.astype(jnp.int8)[..., None] == lanes).astype(jnp.int8)
+
+    rebase = rebase.astype(jnp.int16)
+    satu = jnp.int16(sat) + rebase
+    gap16 = jnp.int16(gap)
+    if stage_int8:
+        profile = (profile.astype(jnp.int16) + gap16).astype(jnp.int8)
+        stage_dtype = jnp.int8
+    else:
+        stage_dtype = jnp.int16
+
+    def row_step(carry, s_row):
+        u_prev, bestu = carry
+        srow = s_row.astype(jnp.int16) if stage_int8 else s_row.astype(jnp.int16) + gap16
+        diag_u = jnp.pad(u_prev[:, :-1], ((0, 0), (1, 0)), constant_values=-gap)
+        t_u = jnp.maximum(jnp.maximum(rebase, diag_u + srow), u_prev - gap16)
+        t_u = jnp.minimum(t_u, satu)
+        u = jax.lax.cummax(t_u, axis=1)
+        return (u, jnp.maximum(bestu, t_u)), None
+
+    def strip_step(carry, prof_strip):
+        s = jax.lax.dot_general(
+            prof_strip,
+            oh,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(stage_dtype)
+        return jax.lax.scan(row_step, carry, s)[0], None
+
+    u0 = rebase
+    prof_strips = profile.reshape(qpad // strip, strip, A)
+    (_, bestu), _ = jax.lax.scan(strip_step, (u0, u0), prof_strips)
+    # bestH + J = bestu - rebase + J; J - rebase == -g*j' exactly (rebase =
+    # g*j' + J by construction), so bestu - g*j' is bestH in jump space.
+    gj = (jnp.arange(L, dtype=jnp.int32) * gap)[None, :].astype(jnp.int16)
+    z = jax.lax.cummax((bestu - gj).astype(jnp.int32), axis=1)
+    return jnp.take_along_axis(z, seg_ends.astype(jnp.int32), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "strip", "sat", "stage_int8"))
+def sw_score_stack_seg16(
+    profile: jax.Array,
+    stack: jax.Array,
+    rebases: jax.Array,
+    seg_ends: jax.Array,
+    *,
+    gap: int,
+    strip: int = 16,
+    sat: int,
+    stage_int8: bool = False,
+) -> jax.Array:
+    """Segment-packed scoring of a (C, B, L) stack (one dispatch)."""
+    return jax.lax.map(
+        lambda args: sw_score_bucket_seg16(
+            profile, args[0], args[1], args[2], gap=gap, strip=strip, sat=sat, stage_int8=stage_int8
+        ),
+        (stack, rebases, seg_ends),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("gap", "strip"))
 def sw_score_stack(profile: jax.Array, stack: jax.Array, *, gap: int, strip: int = 16) -> jax.Array:
     """Exact int32 scoring of a (C, B, L) stack of same-shape batches.

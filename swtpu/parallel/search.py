@@ -26,7 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import xla_sw
 from .mesh import DB_AXIS, db_sharding, replicated
@@ -84,7 +87,7 @@ def make_sharded_step(
         mesh=mesh,
         in_specs=(P(), P(DB_AXIS, None)),
         out_specs=(P(DB_AXIS), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(
         step,

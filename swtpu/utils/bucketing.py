@@ -119,10 +119,10 @@ def plan_batches(
     sorted_w = edges[np.searchsorted(edges, np.maximum(lengths[order], 1))]
     batches: List[Batch] = []
     pos = 0
-    # Whole-plan budget for merge padding: ~1M extra cells or 1/8 of the
-    # true work, whichever is smaller (the crossover where saved batch
-    # launches stop paying for themselves).
-    absorb_budget = min(1 << 20, int(lengths.sum()) >> 3)
+    # Whole-plan budget for merge padding: ~256k extra cells or 1/16 of the
+    # true work, whichever is smaller (since all groups share one fused
+    # dispatch, merging only saves per-batch row-scan overhead).
+    absorb_budget = min(1 << 18, int(lengths.sum()) >> 4)
     while pos < n:
         width = int(sorted_w[pos])
         # widths are descending, so the edge bucket is a contiguous run;
@@ -140,10 +140,10 @@ def plan_batches(
         while pos < end:
             take = min(rows, end - pos)
             # Partial tail batches declare a quantised row count (pow2 below
-            # 1024, 512-steps above): static-shape count stays O(1) per
+            # 256, 128-steps above): static-shape count stays O(1) per
             # width while small buckets stop paying for full pad blocks.
-            if take > 1024:
-                decl = -(-take // 512) * 512
+            if take > 256:
+                decl = -(-take // 128) * 128
             else:
                 decl = _pow2_ceil(take)
             decl = min(rows, max(min_rows, decl))
@@ -204,7 +204,8 @@ class PackedGroup:
 
 @dataclasses.dataclass(frozen=True)
 class PackedDatabase:
-    """A fully-packed database: one PackedGroup per distinct batch shape.
+    """A fully-packed database: one PackedGroup per distinct batch shape,
+    plus segment-packed groups for short sequences (swtpu.utils.segpack).
 
     Pack-once/search-many: build with :func:`pack_database` (host arrays) or
     via SearchEngine.pack_to_device (device-resident), then score each group
@@ -215,10 +216,13 @@ class PackedDatabase:
 
     groups: Tuple[PackedGroup, ...]
     n_sequences: int
+    seg_groups: Tuple = ()  # Tuple[segpack.PackedSegGroup, ...]
 
     @property
     def total_cells(self) -> int:
-        return sum(g.chunks * g.rows * g.width for g in self.groups)
+        return sum(g.chunks * g.rows * g.width for g in self.groups) + sum(
+            g.cells for g in self.seg_groups
+        )
 
 
 def pack_database(db: Database, plan: BatchPlan, device_put=None) -> PackedDatabase:
