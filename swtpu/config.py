@@ -52,7 +52,14 @@ class SWConfig:
     # cross-segment leakage is suppressed by u-space rebase jumps alone
     # (swtpu.utils.segpack).  Cuts SwissProt-shaped padding ~1.4x -> ~1.1x.
     segment_packing: bool = True
-    seg_width: int = 512
+    # Packed row classes: sequences shorter than seg_widths[k] (and not
+    # fitting an earlier class) pack into width seg_widths[k]; anything
+    # >= the last width uses exact width-ladder batches.  s_max per class
+    # scales down with width to keep the saturation ceiling useful.
+    # Default packs only the short class: packed rows pay a (B, L) rebase
+    # read per DP row that ladder rows don't, which on v5e outweighs the
+    # padding saved on longer classes (measured 43 vs 36 padded GCUPS).
+    seg_widths: Tuple[int, ...] = (512,)
     seg_s_max: int = 8
 
     # --- kernel ------------------------------------------------------------

@@ -161,17 +161,21 @@ class SearchEngine:
         from ..utils import segpack
 
         lengths = db.lengths
-        short = lengths < cfg.seg_width
-        seg_groups = segpack.pack_seg_groups(
-            db,
-            lengths[short],
-            np.nonzero(short)[0],
-            gap=cfg.gap_penalty,
-            width=cfg.seg_width,
-            s_max=cfg.seg_s_max,
-            batch_rows=cfg.batch_rows,
-            device_put=jnp.asarray,
+        s_max_for = lambda w: max(  # noqa: E731
+            2, min(cfg.seg_s_max, cfg.seg_widths[0] * cfg.seg_s_max // w)
         )
+        rows_for = lambda w: min(cfg.batch_rows, max(256, cfg.max_batch_cells // w))  # noqa: E731
+        short = lengths < cfg.seg_widths[-1]
+        short_idx = np.nonzero(short)[0]
+        seg_groups = []
+        for width, batches in segpack.plan_multiclass(
+            lengths[short_idx], short_idx, cfg.seg_widths, s_max_for, rows_for
+        ):
+            seg_groups.extend(
+                segpack.pack_batches_to_groups(
+                    db, batches, gap=cfg.gap_penalty, width=width, s_max=s_max_for(width), device_put=jnp.asarray
+                )
+            )
         long_idx = np.nonzero(~short)[0]
         if long_idx.size:
             long_plan = plan_batches(
@@ -179,7 +183,7 @@ class SearchEngine:
                 batch_rows=cfg.batch_rows,
                 length_quantum=cfg.length_quantum,
                 max_batch_cells=min(cfg.chunk_budget_residues, cfg.max_batch_cells),
-                min_width=cfg.seg_width,
+                min_width=cfg.seg_widths[-1],
             )
             # remap the subset plan's positional ids to global database ids
             remapped = dataclasses.replace(

@@ -328,7 +328,6 @@ def sw_score_bucket_seg16(
     oh = (subjects.astype(jnp.int8)[..., None] == lanes).astype(jnp.int8)
 
     rebase = rebase.astype(jnp.int16)
-    satu = jnp.int16(sat) + rebase
     gap16 = jnp.int16(gap)
     if stage_int8:
         profile = (profile.astype(jnp.int16) + gap16).astype(jnp.int8)
@@ -339,8 +338,13 @@ def sw_score_bucket_seg16(
     def row_step(carry, s_row):
         u_prev, bestu = carry
         srow = s_row.astype(jnp.int16) if stage_int8 else s_row.astype(jnp.int16) + gap16
+        # Recompute satu from the (already-read) rebase each row instead of
+        # letting XLA hoist+materialise a second (B, L) invariant: one VPU
+        # add beats 2 bytes/cell of extra HBM reads per row.
+        reb = jax.lax.optimization_barrier(rebase)
+        satu = jnp.int16(sat) + reb
         diag_u = jnp.pad(u_prev[:, :-1], ((0, 0), (1, 0)), constant_values=-gap)
-        t_u = jnp.maximum(jnp.maximum(rebase, diag_u + srow), u_prev - gap16)
+        t_u = jnp.maximum(jnp.maximum(reb, diag_u + srow), u_prev - gap16)
         t_u = jnp.minimum(t_u, satu)
         u = jax.lax.cummax(t_u, axis=1)
         return (u, jnp.maximum(bestu, t_u)), None

@@ -55,32 +55,33 @@ class SegBatch:
         return int((self.ids >= 0).sum())
 
 
-def plan_segments(
+def plan_multiclass(
     lengths: np.ndarray,
     ids: np.ndarray,
-    width: int = 512,
-    s_max: int = 8,
-    batch_rows: int = 8192,
-) -> List[SegBatch]:
-    """First-fit-decreasing packing of the given sequences into row slots.
+    widths: Tuple[int, ...],
+    s_max_for,
+    batch_rows_for,
+) -> List[Tuple[int, List[SegBatch]]]:
+    """Global multi-width-class packing of all given sequences.
 
-    Every sequence must satisfy len < width.  Segments within a row are
-    separated by exactly one pad column.  Returns batches of <= batch_rows
-    rows (row counts quantised by the caller's grouping).
+    Classes are processed widest first: every still-unplaced sequence that
+    only fits this class (len >= next narrower width) opens a row, and row
+    gaps are filled greedily with the largest still-unplaced sequence of
+    ANY length that fits (largest-fit-decreasing over a global skip-pointer
+    structure) — so a 600-aa opener in a 1024-wide row carries a ~400-aa
+    filler instead of pure padding.  Every sequence must be < widths[-1]'s
+    ... i.e. < max(widths).
+
+    Returns [(width, [SegBatch, ...]), ...] for non-empty classes.
     """
     lengths = np.asarray(lengths, dtype=np.int64)
     ids = np.asarray(ids, dtype=np.int64)
-    assert lengths.shape == ids.shape
     if lengths.size == 0:
         return []
-    if int(lengths.max()) >= width:
-        raise ValueError("plan_segments: sequence does not fit the row width")
+    widths = tuple(sorted(widths))
+    if int(lengths.max()) >= widths[-1]:
+        raise ValueError("plan_multiclass: sequence does not fit the widest class")
 
-    # Largest-fit-decreasing bin packing: open a row with the longest
-    # remaining sequence, then repeatedly add the largest remaining sequence
-    # that still fits (binary search over the ascending order, removals via
-    # union-find "next alive" skip pointers) — near-perfect row fill at
-    # O(n log n + n alpha(n)).
     asc = np.argsort(lengths, kind="stable")
     asc_len = lengths[asc]
     n = int(lengths.size)
@@ -101,24 +102,55 @@ def plan_segments(
     def remove(p: int) -> None:
         nxt[p] = p - 1  # -1 when p == 0
 
-    rows: List[List[int]] = []
-    top = n - 1
-    while True:
-        top = find(top)
-        if top < 0:
-            break
-        members = [int(asc[top])]
-        cap = width - int(asc_len[top])
-        remove(top)
-        while cap >= 2 and len(members) < s_max:
-            # largest remaining with length <= cap - 1 (separator column)
-            hi = find(int(np.searchsorted(asc_len, cap - 1, side="right")) - 1)
-            if hi < 0:
-                break
-            members.append(int(asc[hi]))
-            cap -= int(asc_len[hi]) + 1
-            remove(hi)
-        rows.append(members)
+    out: List[Tuple[int, List[SegBatch]]] = []
+    lower_bounds = [0] + list(widths[:-1])
+    for width, lower in zip(reversed(widths), reversed(lower_bounds)):
+        s_max = s_max_for(width)
+        rows: List[List[int]] = []
+        top = n - 1
+        while True:
+            top = find(top)
+            if top < 0 or asc_len[top] < lower:
+                break  # no opener left for this class
+            members = [int(asc[top])]
+            cap = width - int(asc_len[top])
+            remove(top)
+            while cap >= 2 and len(members) < s_max:
+                # largest remaining with length <= cap - 1 (separator col)
+                hi = find(int(np.searchsorted(asc_len, cap - 1, side="right")) - 1)
+                if hi < 0:
+                    break
+                members.append(int(asc[hi]))
+                cap -= int(asc_len[hi]) + 1
+                remove(hi)
+            rows.append(members)
+        if rows:
+            out.append((width, _rows_to_batches(rows, lengths, ids, width, s_max, batch_rows_for(width))))
+    return out
+
+
+def plan_segments(
+    lengths: np.ndarray,
+    ids: np.ndarray,
+    width: int = 512,
+    s_max: int = 8,
+    batch_rows: int = 8192,
+) -> List[SegBatch]:
+    """Single-class packing (see :func:`plan_multiclass`)."""
+    classes = plan_multiclass(
+        lengths, ids, (width,), lambda _w: s_max, lambda _w: batch_rows
+    )
+    return classes[0][1] if classes else []
+
+
+def _rows_to_batches(
+    rows: List[List[int]],
+    lengths: np.ndarray,
+    ids: np.ndarray,
+    width: int,
+    s_max: int,
+    batch_rows: int,
+) -> List[SegBatch]:
 
     batches: List[SegBatch] = []
     for base in range(0, len(rows), batch_rows):
@@ -252,12 +284,23 @@ def pack_seg_groups(
     batch_rows: int = 8192,
     device_put=None,
 ) -> List[PackedSegGroup]:
-    """Plan + pack + build rebases for all given short sequences.
-
-    Batches are stacked per quantised row count (full batches in one big
-    stack, the partial tail in its own) so no batch pays full-block pad rows.
-    """
+    """Plan + pack + build rebases for one single-width class."""
     batches = plan_segments(lengths, ids, width=width, s_max=s_max, batch_rows=batch_rows)
+    return pack_batches_to_groups(db, batches, gap=gap, width=width, s_max=s_max, device_put=device_put)
+
+
+def pack_batches_to_groups(
+    db: Database,
+    batches: List[SegBatch],
+    *,
+    gap: int,
+    width: int,
+    s_max: int,
+    device_put=None,
+) -> List[PackedSegGroup]:
+    """Stack planned batches per quantised row count (full batches in one
+    big stack, the partial tail in its own) so no batch pays full-block pad
+    rows; build rebases and move everything to the device."""
     if not batches:
         return []
     sat = seg16_sat(gap, width, s_max)
