@@ -59,6 +59,7 @@ def main():
     ap.add_argument("--full", action="store_true", help="all 17 reference query lengths")
     ap.add_argument("--db-size", type=int, default=60000)
     ap.add_argument("--pallas", action="store_true", help="force the Pallas kernel (default: XLA fast16 path)")
+    ap.add_argument("--batched", action="store_true", help="score all queries in ONE vmapped dispatch (search_many)")
     args = ap.parse_args()
 
     from swtpu.config import SWConfig
@@ -86,6 +87,25 @@ def main():
                "Q38941": 850, "P27895": 1000, "P07756": 1500, "P19096": 2500,
                "P28167": 2700, "P0C6B8": 3100, "P20930": 4061, "Q7TMA5": 4548,
                "P08519": 4548}
+
+    if args.batched:
+        qs = [load_query(qn, lengths.get(qn, 500)) for qn in queries]
+        engine.search_many(qs, db)  # warm-up / compile
+        t0 = time.perf_counter()
+        res = engine.search_many(qs, db)
+        dt = time.perf_counter() - t0
+        cells = sum(q.length for q in qs) * db.length_sum
+        agg = 1e-9 * cells / dt
+        print(f"# batched {len(qs)} queries: {dt:.3f}s aggregate {agg:.2f} GCUPS", file=sys.stderr)
+        print(json.dumps({
+            "metric": "sw_search_gcups_per_chip_batched",
+            "value": round(agg, 3),
+            "unit": "GCUPS",
+            "vs_baseline": round(agg / BASELINE_GCUPS, 3),
+            "queries": len(qs),
+            "db_sequences": db.n,
+        }))
+        return
 
     results = {}
     headline = None

@@ -81,6 +81,23 @@ def test_align_top_k_end_to_end():
     assert len(alns[0].midline()) == len(alns[0].aligned_query)
 
 
+def test_cli_align_top_k(tmp_path, capsys):
+    """--align-top-k prints gapped alignments for the best hits."""
+    from swtpu.cli import main
+    from swtpu.io.fasta import write_fasta
+
+    qs = _rand_seq(40)
+    seqs = [_rand_seq(60) for _ in range(6)]
+    seqs[2] = seqs[2][:8] + qs + seqs[2][8:]
+    db_path, q_path = tmp_path / "db.fasta", tmp_path / "q.fasta"
+    write_fasta(db_path, seqs)
+    write_fasta(q_path, [qs], headers=["query"])
+    assert main(["--query", str(q_path), "--db", str(db_path), "--align-top-k", "2", "--no-pallas"]) == 0
+    out = capsys.readouterr().out
+    assert "subject 2" in out and "score" in out
+    assert qs in out  # exact-substring hit aligns gap-free
+
+
 def test_cpu_align_cli_format(capsys):
     """Exact cpu.cpp behaviour: +3/-3, gap 2, gapped strings then matrix."""
     from swtpu.cpu_align import main

@@ -1,0 +1,54 @@
+"""Multi-query batched search: one vmapped dispatch, per-query exactness."""
+
+import numpy as np
+
+from swtpu.alphabet import encode_str
+from swtpu.config import SWConfig
+from swtpu.io.fasta import database_from_sequences, Query
+from swtpu.matrices import blosum50_ref
+from swtpu.models.search import SearchEngine
+from swtpu.ops.oracle import sw_score_diag
+
+RNG = np.random.default_rng(41)
+
+
+def _q(s):
+    return Query(name="q", residues=encode_str(s), raw=s)
+
+
+def _rand_seq(n):
+    return "".join("ARNDCQEGHILKMFPSTWYV"[i] for i in RNG.integers(0, 20, n))
+
+
+def test_search_many_matches_single_searches():
+    seqs = [_rand_seq(int(RNG.integers(10, 700))) for _ in range(40)]
+    db = database_from_sequences(seqs)
+    queries = [_q(_rand_seq(n)) for n in (25, 60, 110)]
+    cfg = SWConfig(batch_rows=32, length_quantum=8)
+    eng = SearchEngine(cfg)
+    many = eng.search_many(queries, db)
+    assert len(many) == 3
+    for q, res in zip(queries, many):
+        single = eng.search(q, db)
+        np.testing.assert_array_equal(res.scores, single.scores)
+
+
+def test_search_many_oracle_and_saturation():
+    m = blosum50_ref()
+    w_run = "W" * 400  # vs itself: 6000 > seg sat (~3.9k) -> rescored
+    seqs = [w_run, _rand_seq(80), _rand_seq(200)]
+    db = database_from_sequences(seqs)
+    queries = [_q(w_run), _q(_rand_seq(50))]
+    eng = SearchEngine(SWConfig(batch_rows=32, length_quantum=8))
+    many = eng.search_many(queries, db)
+    for q, res in zip(queries, many):
+        want = np.array(
+            [sw_score_diag(q.residues, db.sequence(i), m, 2) for i in range(db.n)], dtype=np.int32
+        )
+        np.testing.assert_array_equal(res.scores, want)
+    assert many[0].scores[0] == 6000  # rescued through the exact rescore
+
+
+def test_search_many_empty():
+    db = database_from_sequences([_rand_seq(30)])
+    assert SearchEngine(SWConfig()).search_many([], db) == []
