@@ -60,6 +60,7 @@ def main():
     ap.add_argument("--db-size", type=int, default=60000)
     ap.add_argument("--pallas", action="store_true", help="force the Pallas kernel (default: XLA fast16 path)")
     ap.add_argument("--batched", action="store_true", help="score all queries in ONE vmapped dispatch (search_many)")
+    ap.add_argument("--only", default=None, help="comma-separated query names (subset of the sweep)")
     args = ap.parse_args()
 
     from swtpu.config import SWConfig
@@ -82,6 +83,8 @@ def main():
             "P21177", "Q38941", "P27895", "P07756", "P19096", "P28167", "P0C6B8",
             "P20930", "Q7TMA5", "P08519",
         ]
+    if args.only:
+        queries = [q.strip() for q in args.only.split(",") if q.strip()]
     lengths = {"P02232": 144, "P05013": 189, "P14942": 222, "P07327": 375,
                "P01008": 464, "P42357": 657, "P03435": 567, "P21177": 452,
                "Q38941": 850, "P27895": 1000, "P07756": 1500, "P19096": 2500,

@@ -444,8 +444,9 @@ class SearchEngine:
             if cached is None or cached[0] is not db:
                 self._resident = (db, self.pack_to_device(db, plan))
             return self.search_packed(query, db, self._resident[1])
-            profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
-            profile_dev = jnp.asarray(profile)
+
+        profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
+        profile_dev = jnp.asarray(profile)
 
         # Dispatch loop: packing batch k+1 on host overlaps device compute of
         # batch k because jax dispatch is asynchronous.

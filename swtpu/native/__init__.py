@@ -96,6 +96,18 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int8,
             ctypes.POINTER(ctypes.c_int8),
         ]
+        lib.sw_pack_segments.restype = None
+        lib.sw_pack_segments.argtypes = [
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int8,
+            ctypes.POINTER(ctypes.c_int8),
+        ]
         _lib = lib
         return _lib
 
@@ -154,6 +166,41 @@ def pack_batch_native(
         _ptr(ids32, ctypes.c_int32),
         len(ids32),
         rows,
+        width,
+        pad,
+        _ptr(out, ctypes.c_int8),
+    )
+    return out
+
+
+def pack_segments_native(
+    residues: np.ndarray,
+    offsets: np.ndarray,
+    ids: np.ndarray,
+    starts: np.ndarray,
+    width: int,
+    pad: int,
+) -> Optional[np.ndarray]:
+    """Native (rows, width) segment packer; None if the library is missing.
+
+    ids/starts are (rows, s_max) arrays per swtpu.utils.segpack.SegBatch.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    residues = np.ascontiguousarray(residues, dtype=np.int8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    ids64 = np.ascontiguousarray(ids, dtype=np.int64)
+    starts32 = np.ascontiguousarray(starts, dtype=np.int32)
+    rows, s_max = ids64.shape
+    out = np.empty((rows, width), dtype=np.int8)
+    lib.sw_pack_segments(
+        _ptr(residues, ctypes.c_int8),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(ids64, ctypes.c_int64),
+        _ptr(starts32, ctypes.c_int32),
+        rows,
+        s_max,
         width,
         pad,
         _ptr(out, ctypes.c_int8),

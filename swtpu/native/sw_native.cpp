@@ -136,6 +136,31 @@ void sw_pack_batch(const int8_t* residues, const int64_t* offsets,
   }
 }
 
+// Pack segment-shared rows: several subjects per row at given column
+// starts (TPU-native segment packing, swtpu/utils/segpack.py).
+//
+//   ids    : (rows * s_max) int64, -1 = empty slot
+//   starts : (rows * s_max) int32 first column per segment
+//   out    : (rows * width) int8, pre-filled with `pad` here
+void sw_pack_segments(const int8_t* residues, const int64_t* offsets,
+                      const int64_t* ids, const int32_t* starts,
+                      int64_t rows, int64_t s_max, int64_t width, int8_t pad,
+                      int8_t* out) {
+  memset(out, pad, (size_t)(rows * width));
+  for (int64_t r = 0; r < rows; ++r) {
+    int8_t* row = out + r * width;
+    for (int64_t s = 0; s < s_max; ++s) {
+      int64_t id = ids[r * s_max + s];
+      if (id < 0) break;
+      int64_t beg = offsets[id];
+      int64_t len = offsets[id + 1] - beg;
+      int64_t col = starts[r * s_max + s];
+      if (col + len > width) len = width - col;
+      memcpy(row + col, residues + beg, (size_t)len);
+    }
+  }
+}
+
 // Batched max over the packed residue lengths (utility for planners).
 int64_t sw_total_residues(const int64_t* offsets, int64_t n) {
   return n >= 0 ? offsets[n] : 0;

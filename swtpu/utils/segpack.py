@@ -179,6 +179,14 @@ def _rows_to_batches(
 
 def pack_segments(db: Database, batch: SegBatch) -> np.ndarray:
     """Materialise the (rows, width) int8 residue array for a SegBatch."""
+    from .. import native
+
+    if db.residues.shape[0]:
+        packed = native.pack_segments_native(
+            db.residues, db.offsets, batch.ids, batch.starts, batch.width, PAD_SUBJECT
+        )
+        if packed is not None:
+            return packed
     out = np.full((batch.rows, batch.width), PAD_SUBJECT, dtype=np.int8)
     ids = batch.ids
     for r in range(batch.rows):

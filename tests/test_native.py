@@ -65,6 +65,23 @@ def test_native_parse_random_fasta_roundtrip(tmp_path):
     assert db.n == 50
 
 
+def test_native_pack_segments_matches_python():
+    from swtpu.alphabet import decode
+    from swtpu.utils import segpack
+
+    seqs = [decode(RNG.integers(0, 25, int(RNG.integers(5, 120))).astype(np.int8)) for _ in range(30)]
+    db = fasta.database_from_sequences(seqs)
+    batch = segpack.plan_segments(db.lengths, np.arange(db.n), width=256, s_max=4)[0]
+    got = native.pack_segments_native(db.residues, db.offsets, batch.ids, batch.starts, batch.width, PAD_SUBJECT)
+    assert got is not None
+    os.environ["SWTPU_NO_NATIVE"] = "1"
+    try:
+        want = segpack.pack_segments(db, batch)
+    finally:
+        del os.environ["SWTPU_NO_NATIVE"]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_native_pack_matches_numpy():
     from swtpu.utils.bucketing import Batch, pack_batch
 
