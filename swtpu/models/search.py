@@ -58,7 +58,13 @@ class SearchResult:
 
 
 class SearchEngine:
-    """Reusable scorer: parse once, search many queries."""
+    """Reusable scorer: parse once, search many queries.
+
+    With ``config.mesh_shape = (n,)`` the packed database is sharded along
+    batch rows over an n-device mesh and the SAME jitted step runs SPMD —
+    XLA/GSPMD partitions the embarrassingly-row-parallel DP with zero
+    cross-device communication until the final (tiny) score gather.
+    """
 
     def __init__(self, config: SWConfig = SWConfig()):
         from ..utils.compile_cache import enable_compilation_cache
@@ -69,6 +75,24 @@ class SearchEngine:
         # int8 score staging is exact iff every folded score fits int8.
         self._stage_int8 = int(self.matrix.max()) + config.gap_penalty <= 127
         self._kernel = self._select_kernel()
+        self._mesh = None
+        if config.n_devices > 1:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(config.n_devices, axis=config.mesh_axes[0])
+            if config.n_devices & (config.n_devices - 1):
+                raise ValueError("mesh size must be a power of two for even row sharding")
+
+    def _device_put(self, arr):
+        """Move a packed array to device(s): row-sharded on a mesh."""
+        if self._mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.config.mesh_axes[0]
+        # (C, rows, ...) stacks shard along rows; everything else replicates.
+        spec = P(None, axis) if getattr(arr, "ndim", 0) == 3 else P()
+        return jax.device_put(arr, NamedSharding(self._mesh, spec))
 
     def _select_kernel(self):
         """Build kernel(prof, subj) -> (scores, rescore_threshold | None).
@@ -156,7 +180,7 @@ class SearchEngine:
         if not cfg.segment_packing or cfg.score_dtype == "int16" or not cfg.fast_saturating:
             if plan is None:
                 plan = self.plan(db)
-            return pack_database(db, plan, device_put=jnp.asarray)
+            return pack_database(db, plan, device_put=self._device_put)
 
         from ..utils import segpack
 
@@ -173,7 +197,13 @@ class SearchEngine:
         ):
             seg_groups.extend(
                 segpack.pack_batches_to_groups(
-                    db, batches, gap=cfg.gap_penalty, width=width, s_max=s_max_for(width), device_put=jnp.asarray
+                    db,
+                    batches,
+                    gap=cfg.gap_penalty,
+                    width=width,
+                    s_max=s_max_for(width),
+                    device_put=self._device_put,
+                    row_multiple=cfg.n_devices,
                 )
             )
         long_idx = np.nonzero(~short)[0]
@@ -184,6 +214,7 @@ class SearchEngine:
                 length_quantum=cfg.length_quantum,
                 max_batch_cells=min(cfg.chunk_budget_residues, cfg.max_batch_cells),
                 min_width=cfg.seg_widths[-1],
+                min_rows=max(8, cfg.n_devices),
             )
             # remap the subset plan's positional ids to global database ids
             remapped = dataclasses.replace(
@@ -192,7 +223,7 @@ class SearchEngine:
                     dataclasses.replace(b, ids=long_idx[b.ids].astype(np.int64)) for b in long_plan.batches
                 ),
             )
-            packed_long = pack_database(db, remapped, device_put=jnp.asarray)
+            packed_long = pack_database(db, remapped, device_put=self._device_put)
             groups = packed_long.groups
         else:
             groups = ()
@@ -309,7 +340,7 @@ class SearchEngine:
         stack = np.full((len(queries), qpad, profiles[0].shape[1]), xla_sw.PAD_SCORE, dtype=np.int8)
         for i, p in enumerate(profiles):
             stack[i, : p.shape[0]] = p
-        prof_dev = jnp.asarray(stack)
+        prof_dev = self._device_put(stack)
 
         if getattr(self, "_packed_step_many_fn", None) is None:
             step = self._packed_step()
@@ -398,7 +429,7 @@ class SearchEngine:
 
         with timer.phase("plan"):
             profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
-            profile_dev = jnp.asarray(profile)
+            profile_dev = self._device_put(profile)
 
         t_device = time.perf_counter()
         flat_all = np.asarray(

@@ -259,12 +259,15 @@ class PackedSegGroup:
         return self.chunks * self.rows * self.width
 
 
-def _quantise_rows(rows: int) -> int:
-    if rows <= 1:
-        return 1
+def _quantise_rows(rows: int, min_rows: int = 1) -> int:
     if rows > 1024:
-        return -(-rows // 512) * 512
-    return 1 << (rows - 1).bit_length()
+        q = -(-rows // 512) * 512
+    elif rows <= 1:
+        q = 1
+    else:
+        q = 1 << (rows - 1).bit_length()
+    # round up to the device-mesh row multiple (power of two)
+    return -(-max(q, min_rows) // min_rows) * min_rows
 
 
 def _pad_batch_rows(b: SegBatch, rows: int) -> SegBatch:
@@ -305,16 +308,19 @@ def pack_batches_to_groups(
     width: int,
     s_max: int,
     device_put=None,
+    row_multiple: int = 1,
 ) -> List[PackedSegGroup]:
     """Stack planned batches per quantised row count (full batches in one
     big stack, the partial tail in its own) so no batch pays full-block pad
-    rows; build rebases and move everything to the device."""
+    rows; build rebases and move everything to the device.  row_multiple
+    (a power of two) forces every batch's rows to a device-mesh multiple
+    so stacks shard evenly."""
     if not batches:
         return []
     sat = seg16_sat(gap, width, s_max)
     by_rows: dict = {}
     for b in batches:
-        rows = _quantise_rows(b.rows)
+        rows = _quantise_rows(b.rows, row_multiple)
         by_rows.setdefault(rows, []).append(_pad_batch_rows(b, rows))
     groups: List[PackedSegGroup] = []
     for rows, bs in sorted(by_rows.items()):

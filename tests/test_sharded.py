@@ -77,3 +77,20 @@ def test_sharded_engine_full_search_matches_single_device():
 def test_mesh_too_many_devices_raises():
     with pytest.raises(ValueError):
         make_mesh(10_000)
+
+
+def test_mesh_engine_matches_single_device():
+    """SearchEngine with mesh_shape=(8,): GSPMD-sharded packed path."""
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(61)
+    seqs = [
+        "".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, int(rng.integers(10, 500))))
+        for _ in range(50)
+    ]
+    db = database_from_sequences(seqs)
+    q = Query(name="q", residues=encode_str(seqs[7][:60]), raw="")
+    single = SearchEngine(SWConfig(batch_rows=32, length_quantum=8)).search(q, db)
+    mesh = SearchEngine(SWConfig(batch_rows=32, length_quantum=8, mesh_shape=(8,))).search(q, db)
+    np.testing.assert_array_equal(mesh.scores, single.scores)
+    assert mesh.top_k(3) == single.top_k(3)
