@@ -34,7 +34,7 @@ from ..alphabet import decode
 from ..config import SWConfig
 from ..io.fasta import Database, Query
 from ..matrices import get_matrix
-from ..ops.oracle import sw_matrix, FROM_LEFT, FROM_TOP, FROM_TOP_LEFT
+from ..ops.oracle import sw_matrix_h, FROM_NONE, FROM_LEFT, FROM_TOP, FROM_TOP_LEFT
 
 
 @dataclasses.dataclass
@@ -91,17 +91,37 @@ def traceback_pair(
     """
     q = np.asarray(query_idx, dtype=np.int64)
     s = np.asarray(subject_idx, dtype=np.int64)
-    H, TB = sw_matrix(q, s, matrix, gap)
+    # Vectorised H fill; directions re-derived per visited cell during the
+    # walk (O(alignment) cells) with cpu.cpp's exact candidate order —
+    # building the full int8 direction matrix cell-by-cell would cost
+    # O(q*l) Python-loop time (minutes for long hits).
+    H = sw_matrix_h(q, s, matrix, gap)
     flat = int(np.argmax(H))  # first maximal cell row-major (cpu.cpp:66-70)
     i, j = divmod(flat, H.shape[1])
     score = int(H[i, j])
     q_str = decode(q)
     s_str = decode(s)
+
+    def origin(ti: int, tj: int) -> int:
+        """cpu.cpp:47-64 selection: LEFT, TOP, DIAG tried in order, each
+        overriding only on strictly-greater score."""
+        best, org = 0, FROM_NONE
+        cand = H[ti, tj - 1] - gap
+        if cand > best:
+            best, org = cand, FROM_LEFT
+        cand = H[ti - 1, tj] - gap
+        if cand > best:
+            best, org = cand, FROM_TOP
+        cand = H[ti - 1, tj - 1] + int(matrix[q[ti - 1], s[tj - 1]])
+        if cand > best:
+            best, org = cand, FROM_TOP_LEFT
+        return org
+
     out_q: List[str] = []
     out_s: List[str] = []
     ti, tj = i, j
     while H[ti, tj] != 0:
-        d = TB[ti, tj]
+        d = origin(ti, tj)
         if d == FROM_LEFT:
             tj -= 1
             out_q.append("-")

@@ -128,6 +128,32 @@ def sw_traceback(
     return best, "".join(reversed(out_q)), "".join(reversed(out_s)), (i, j)
 
 
+def sw_matrix_h(query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, gap: int) -> np.ndarray:
+    """Full (m+1, n+1) scoring matrix, vectorised per row (no Python cell loop).
+
+    Same H values as :func:`sw_matrix` but ~1000x faster for long pairs:
+    the within-row gap chain H[j] = max(T[j], H[j-1]-g) is computed as
+    ``np.maximum.accumulate(T + g*j) - g*j`` (the u-space trick the device
+    kernels use).  Use together with an on-the-fly traceback that re-derives
+    each cell's origin from H (models.align.traceback_pair) when the full
+    int8 direction matrix would be too slow to build cell-by-cell.
+    """
+    q = np.asarray(query, dtype=np.int64)
+    s = np.asarray(subject, dtype=np.int64)
+    m, n = len(q), len(s)
+    H = np.zeros((m + 1, n + 1), dtype=np.int64)
+    if n == 0 or m == 0:
+        return H
+    rebase = gap * np.arange(1, n + 1, dtype=np.int64)
+    for i in range(1, m + 1):
+        sub = matrix[q[i - 1], s]
+        prev = H[i - 1]
+        t = np.maximum(0, prev[:-1] + sub)  # diag
+        np.maximum(t, prev[1:] - gap, out=t)  # top
+        H[i, 1:] = np.maximum.accumulate(t + rebase) - rebase
+    return H
+
+
 def sw_score_diag(query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, gap: int) -> int:
     """Anti-diagonal vectorised SW max-score (NumPy).
 
