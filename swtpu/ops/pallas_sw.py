@@ -224,7 +224,7 @@ def sw_score_bucket_fused(
     if tile_b <= 0:
         tile_b = _fused_tile_b(L)
     tile_b = min(tile_b, B)
-    from .xla_sw import PAD_SCORE
+    from .xla_sw import PAD_SCORE, PAD_SUBJECT
 
     pad_b = (-B) % tile_b
     if pad_b:
