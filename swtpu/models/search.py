@@ -52,9 +52,13 @@ class SearchResult:
         k = min(k, n)
         if k == 0:
             return []
-        part = np.argpartition(-self.scores, k - 1)[:k]
-        order = np.lexsort((part, -self.scores[part]))
-        return [(int(part[i]), int(self.scores[part[i]])) for i in order]
+        # argpartition alone would pick an arbitrary subset of ids tied at
+        # the k-th score; take the full >= kth-score candidate set first so
+        # the id-ascending tie-break is honoured at the boundary.
+        kth = -np.partition(-self.scores, k - 1)[k - 1]
+        cand = np.nonzero(self.scores >= kth)[0]
+        order = np.lexsort((cand, -self.scores[cand]))[:k]
+        return [(int(cand[i]), int(self.scores[cand[i]])) for i in order]
 
 
 class SearchEngine:
@@ -177,19 +181,30 @@ class SearchEngine:
         and only the long tail uses width-ladder batches.
         """
         cfg = self.config
-        if not cfg.segment_packing or cfg.score_dtype == "int16" or not cfg.fast_saturating:
+        from ..utils import segpack
+
+        # Segment packing needs a usable saturation ceiling; huge gap
+        # penalties (or int16 mode) fall back to plain ladder batches.
+        seg_ok = (
+            cfg.segment_packing
+            and cfg.score_dtype != "int16"
+            and cfg.fast_saturating
+            and segpack.seg16_sat(cfg.gap_penalty, cfg.seg_widths[0], cfg.seg_s_max) >= 1024
+        )
+        if not seg_ok:
             if plan is None:
                 plan = self.plan(db)
             return pack_database(db, plan, device_put=self._device_put)
-
-        from ..utils import segpack
 
         lengths = db.lengths
         s_max_for = lambda w: max(  # noqa: E731
             2, min(cfg.seg_s_max, cfg.seg_widths[0] * cfg.seg_s_max // w)
         )
         rows_for = lambda w: min(cfg.batch_rows, max(256, cfg.max_batch_cells // w))  # noqa: E731
-        short = lengths < cfg.seg_widths[-1]
+        # Zero-length records (header-only FASTA entries) score 0 by
+        # definition and never enter a packed row (a 0-width segment would
+        # corrupt the gather indices).
+        short = (lengths < cfg.seg_widths[-1]) & (lengths > 0)
         short_idx = np.nonzero(short)[0]
         seg_groups = []
         for width, batches in segpack.plan_multiclass(
@@ -230,8 +245,13 @@ class SearchEngine:
         return PackedDatabase(groups=groups, n_sequences=db.n, seg_groups=tuple(seg_groups))
 
     def _group_threshold(self, width: int) -> Optional[int]:
-        """Saturation/rescore threshold for a group of the given width."""
+        """Saturation/rescore threshold for a ladder group of this width."""
         cfg = self.config
+        if cfg.use_pallas and self._mesh is None:
+            from ..ops import pallas_sw
+
+            if width <= pallas_sw.MAX_PALLAS_WIDTH:
+                return None  # fused Pallas kernel is exact int32
         sat = xla_sw.fast16_sat(cfg.gap_penalty, width)
         if cfg.score_dtype != "int16" and cfg.fast_saturating and sat >= 4096:
             return sat
@@ -256,6 +276,25 @@ class SearchEngine:
             for stack in stacks:
                 width = stack.shape[2]
                 sat = xla_sw.fast16_sat(cfg.gap_penalty, width)
+                if cfg.use_pallas and self._mesh is None:
+                    # Pallas kernel family for ladder groups (segment-packed
+                    # groups have no Pallas variant and stay on XLA).
+                    from ..ops import pallas_sw
+
+                    if width <= pallas_sw.MAX_PALLAS_WIDTH:
+                        outs.append(
+                            jax.lax.map(
+                                lambda s: pallas_sw.sw_score_bucket_fused(
+                                    profile,
+                                    s,
+                                    gap=cfg.gap_penalty,
+                                    strip=cfg.query_strip,
+                                    interpret=cfg.interpret,
+                                ),
+                                stack,
+                            )
+                        )
+                        continue
                 if cfg.score_dtype != "int16" and cfg.fast_saturating and sat >= 4096:
                     outs.append(
                         xla_sw.sw_score_stack_fast16(
@@ -288,6 +327,8 @@ class SearchEngine:
                 )
             # One flat output => ONE device->host transfer for the whole
             # query (per-group transfers each pay a dispatch round trip).
+            if not outs:  # empty database / empty shard
+                return jnp.zeros((0,), jnp.int32)
             return jnp.concatenate([o.reshape(-1) for o in outs])
 
         self._packed_step_fn = jax.jit(step, static_argnames=("seg_sats",))
@@ -309,6 +350,11 @@ class SearchEngine:
         if not queries:
             return []
         if packed is None:
+            # Honour the residency budget like search(): oversized or
+            # explicitly non-resident databases fall back to per-query
+            # streaming searches instead of packing HBM anyway.
+            if not cfg.device_resident or self.plan(db).total_cells > cfg.device_resident_cells:
+                return [self.search(q, db) for q in queries]
             cached = getattr(self, "_resident", None)
             if cached is None or cached[0] is not db:
                 self._resident = (db, self.pack_to_device(db))
@@ -410,7 +456,12 @@ class SearchEngine:
                 if hit.any():
                     sat_ids.extend(int(i) for i in ids[hit])
         for sid in sat_ids:
-            subj = db.sequence(sid)[None, :].astype(np.int8)
+            seq = db.sequence(sid)
+            # pad to a 256-residue quantum so rescoring a hit family costs
+            # O(few) kernel compiles, not one per distinct subject length
+            w = max(256, -(-seq.shape[0] // 256) * 256)
+            subj = np.full((1, w), xla_sw.PAD_SUBJECT, dtype=np.int8)
+            subj[0, : seq.shape[0]] = seq
             exact = xla_sw.sw_score_bucket(
                 jnp.asarray(profile), jnp.asarray(subj), gap=cfg.gap_penalty, strip=cfg.query_strip
             )
@@ -513,7 +564,10 @@ class SearchEngine:
             if sat_ids:
                 scores = scores.copy()
                 for sid in sat_ids:
-                    subj = db.sequence(sid)[None, :].astype(np.int8)
+                    seq = db.sequence(sid)
+                    w = max(256, -(-seq.shape[0] // 256) * 256)  # bound compile count
+                    subj = np.full((1, w), xla_sw.PAD_SUBJECT, dtype=np.int8)
+                    subj[0, : seq.shape[0]] = seq
                     exact = xla_sw.sw_score_bucket(
                         jnp.asarray(profile), jnp.asarray(subj), gap=cfg.gap_penalty, strip=cfg.query_strip
                     )

@@ -51,14 +51,7 @@ MAX_PALLAS_WIDTH = 4096
 
 def _row_update(t_row, gap, rebase):
     """H = cummax(T + g*j) - g*j via Kogge-Stone doubling along lanes."""
-    u = t_row + rebase
-    L = u.shape[-1]
-    shift = 1
-    while shift < L:
-        shifted = jnp.pad(u[:, :-shift], ((0, 0), (shift, 0)), constant_values=NEG_LARGE)
-        u = jnp.maximum(u, shifted)
-        shift *= 2
-    return u - rebase
+    return _ks_cummax(t_row + rebase) - rebase
 
 
 def _kernel(
@@ -184,7 +177,9 @@ def _fused_kernel(
         # Rows are unrolled (static s_ref index on the middle dim); the
         # strip body itself is traced once inside the fori_loop.
         for r in range(strip):
-            s_row = s_ref[:, r, :]  # (TILE_B, L) int32, +gap folded in
+            # +gap added here in int32 (folding it into the int8 profile
+            # could wrap for extreme matrix values / gap penalties)
+            s_row = s_ref[:, r, :] + gap  # (TILE_B, L) int32
             u_prev = u_ref[:]
             diag_u = jnp.pad(u_prev[:, :-1], ((0, 0), (1, 0)), constant_values=-gap)
             t_u = jnp.maximum(jnp.maximum(rebase, diag_u + s_row), u_prev - gap)
@@ -232,9 +227,6 @@ def sw_score_bucket_fused(
     Bp = B + pad_b
     if A < KERNEL_ALPHABET:
         profile = jnp.pad(profile, ((0, 0), (0, KERNEL_ALPHABET - A)), constant_values=PAD_SCORE)
-    # Fold the gap into the substitution scores: one-hot rows sum to 1, so
-    # s' = S + g exactly, saving one VPU add per DP row.
-    profile = (profile.astype(jnp.int16) + jnp.int16(gap)).astype(jnp.int8)
     n_strips = qpad // strip
 
     kernel = functools.partial(

@@ -38,16 +38,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def initialize_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up (jax.distributed); no-op when single-process.
+    """Multi-host bring-up; alias of swtpu.parallel.distributed.initialize."""
+    from .distributed import initialize
 
-    On a pod slice each host calls this before building the global mesh;
-    the database is sharded host-major so every host only packs its own
-    shard (see swtpu.parallel.search.DistributedSearchEngine).
-    """
-    if num_processes is None or num_processes <= 1:
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    initialize(coordinator_address=coordinator, num_processes=num_processes, process_id=process_id)

@@ -137,6 +137,7 @@ def plan_batches(
             absorb_budget -= extra
             end = nxt
         rows = min(batch_rows, max(min_rows, _pow2_floor(max_batch_cells // width)))
+        rows = max(min_rows, rows - rows % min_rows)  # mesh-divisible cap
         while pos < end:
             take = min(rows, end - pos)
             # Partial tail batches declare a quantised row count (pow2 below
@@ -146,7 +147,9 @@ def plan_batches(
                 decl = -(-take // 128) * 128
             else:
                 decl = _pow2_ceil(take)
-            decl = min(rows, max(min_rows, decl))
+            # keep every batch's rows a multiple of min_rows (mesh size)
+            decl = -(-max(min_rows, decl) // min_rows) * min_rows
+            decl = min(rows, decl)
             batches.append(Batch(ids=order[pos : pos + take].copy(), rows=decl, width=width))
             pos += take
     shapes = tuple(sorted({(b.rows, b.width) for b in batches}))
