@@ -71,3 +71,12 @@ def test_width_edges_ladder():
     assert edges[-1] >= 5000
     assert all(b > a for a, b in zip(edges, edges[1:]))
     assert all(e % 128 == 0 for e in edges)
+
+
+def test_plan_rows_divisible_by_min_rows():
+    """Non-power-of-two mesh sizes need every batch's rows % n == 0."""
+    lengths = RNG.integers(1, 3000, 5000).astype(np.int64)
+    for n in (3, 6, 8):
+        plan = plan_batches(lengths, min_rows=n)
+        for b in plan.batches:
+            assert b.rows % n == 0, (b.rows, n)
