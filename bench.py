@@ -116,7 +116,7 @@ def main():
         q = load_query(qname, lengths.get(qname, 500))
         engine.search(q, db, plan=plan)  # warm-up: compiles every shape
         best = None
-        for _ in range(2 if args.quick else 3):
+        for _ in range(2 if args.quick else 5):
             r = engine.search(q, db, plan=plan)
             if best is None or r.metrics.device_seconds < best.metrics.device_seconds:
                 best = r
