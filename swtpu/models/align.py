@@ -26,7 +26,7 @@ the device scores — a free cross-check of both paths.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -10,7 +10,7 @@ collectives over ICI/DCN.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import numpy as np
