@@ -360,14 +360,22 @@ class SearchEngine:
                 self._resident = (db, self.pack_to_device(db))
             packed = self._resident[1]
 
-        # Batch only length-compatible queries together: a short query padded
-        # to a long one's row count computes pure pad rows.  Greedy grouping
-        # on a ~1.3x length ladder keeps per-group pad waste bounded.
+        # Batch only length-compatible queries together (a short query padded
+        # to a long one's row count computes pure pad rows), and cap groups
+        # at 4: the vmapped step stages (Q, strip, B, L) scores, so large Q
+        # inflates the working set past HBM-friendly sizes — measured SLOWER
+        # than sequential dispatches at Q=32 on v5e.  Per-query dispatches
+        # are already device-throughput-bound thanks to the fused step, so
+        # batching here mainly saves host-side per-query overhead.
         if len(queries) > 1:
             order = sorted(range(len(queries)), key=lambda i: queries[i].length)
             groups: List[List[int]] = []
             for i in order:
-                if groups and queries[i].length <= 1.3 * queries[groups[-1][0]].length + cfg.query_strip:
+                if (
+                    groups
+                    and len(groups[-1]) < 4
+                    and queries[i].length <= 1.3 * queries[groups[-1][0]].length + cfg.query_strip
+                ):
                     groups[-1].append(i)
                 else:
                     groups.append([i])
