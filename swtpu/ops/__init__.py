@@ -1,0 +1,1 @@
+"""Scoring kernels: NumPy oracles, XLA kernels, Pallas kernels."""

@@ -1,0 +1,1 @@
+"""Batching, segment packing, metrics, compile cache."""
