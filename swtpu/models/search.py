@@ -177,8 +177,9 @@ class SearchEngine:
         path entirely.
 
         With ``segment_packing`` (default) every sequence shorter than
-        seg_width goes into shared segment-packed rows (swtpu.utils.segpack)
-        and only the long tail uses width-ladder batches.
+        max(seg_widths) goes into shared segment-packed rows
+        (swtpu.utils.segpack) and only the long tail uses width-ladder
+        batches.
         """
         cfg = self.config
         from ..utils import segpack
