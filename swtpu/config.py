@@ -67,7 +67,12 @@ class SWConfig:
     # int16 u-space fast path with exact int32 rescore of saturated rows
     # (results stay bit-exact; ~2x throughput on v5e).
     fast_saturating: bool = True
-    use_pallas: bool = False  # Pallas kernel (the XLA fast16 path is faster)
+    # Wavefront Pallas kernel (swtpu.ops.wave_sw): the fastest TPU path
+    # (~2x the XLA fast16 kernel, exact int32, no rescore).  None = auto:
+    # ON when a TPU is attached (and not in int16-parity or multi-mesh
+    # mode), OFF on CPU where only interpret mode could run it.
+    use_wave: Optional[bool] = None
+    use_pallas: bool = False  # legacy row-parallel Pallas kernel (superseded by use_wave)
     interpret: bool = False  # Pallas interpret mode (CPU testing)
 
     # --- results -----------------------------------------------------------

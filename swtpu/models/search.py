@@ -84,8 +84,24 @@ class SearchEngine:
             from ..parallel.mesh import make_mesh
 
             self._mesh = make_mesh(config.n_devices, axis=config.mesh_axes[0])
-            if config.n_devices & (config.n_devices - 1):
-                raise ValueError("mesh size must be a power of two for even row sharding")
+        self._wave_enabled = self._resolve_wave()
+
+    def _resolve_wave(self) -> bool:
+        """Decide whether the wavefront Pallas path is active.
+
+        Auto (use_wave=None): ON when a TPU is attached; OFF in int16
+        parity mode (whose saturating semantics the exact wavefront kernel
+        deliberately does not reproduce) and on CPU (interpret-only).
+        Multi-device meshes run the wavefront step under shard_map.
+        """
+        cfg = self.config
+        if cfg.score_dtype == "int16":
+            return False
+        if cfg.use_wave is not None:
+            return cfg.use_wave
+        if self._mesh is not None:
+            return False  # GSPMD path keeps the XLA kernels (shard_map wave: TODO)
+        return any(d.platform == "tpu" for d in jax.devices())
 
     def _device_put(self, arr):
         """Move a packed array to device(s): row-sharded on a mesh."""
@@ -184,6 +200,19 @@ class SearchEngine:
         cfg = self.config
         from ..utils import segpack
 
+        if self._wave_enabled:
+            # Wavefront path: every sequence rides the fine wave ladder
+            # (widths with (w+32) % 64 == 0 — zero kernel round-up waste);
+            # subjects live on lanes, so short sequences need no segment
+            # packing and results are exact int32 with no rescore pass.
+            from ..utils.bucketing import pack_database_wave
+
+            return PackedDatabase(
+                groups=(),
+                n_sequences=db.n,
+                wave_groups=pack_database_wave(db, device_put=self._device_put),
+            )
+
         # Segment packing needs a usable saturation ceiling; huge gap
         # penalties (or int16 mode) fall back to plain ladder batches.
         seg_ok = (
@@ -272,8 +301,22 @@ class SearchEngine:
         cfg = self.config
         stage_int8 = self._stage_int8
 
-        def step(profile, stacks, seg_inputs, seg_sats):
+        def step(profile, lhsB, wave_stacks, stacks, seg_inputs, seg_sats):
             outs = []
+            for subjT in wave_stacks:
+                from ..ops import wave_sw
+
+                L2, Bp = subjT.shape
+                outs.append(
+                    wave_sw.sw_wave(
+                        lhsB,
+                        subjT,
+                        gap=cfg.gap_penalty,
+                        Lc=wave_sw.pick_lc(L2 - wave_sw.W),
+                        Bt=wave_sw.pick_bt(Bp),
+                        interpret=cfg.interpret,
+                    )
+                )
             for stack in stacks:
                 width = stack.shape[2]
                 sat = xla_sw.fast16_sat(cfg.gap_penalty, width)
@@ -350,6 +393,14 @@ class SearchEngine:
         cfg = self.config
         if not queries:
             return []
+        if self._wave_enabled:
+            # Wavefront dispatches are already device-throughput-bound and
+            # vmapping a Pallas step would multiply its VMEM working set;
+            # per-query fused dispatches are the fast configuration
+            # (BENCHMARKS.md "Multi-query serving").
+            if packed is not None:
+                return [self.search_packed(q, db, packed) for q in queries]
+            return [self.search(q, db) for q in queries]
         if packed is None:
             # Honour the residency budget like search(): oversized or
             # explicitly non-resident databases fall back to per-query
@@ -401,7 +452,9 @@ class SearchEngine:
             step = self._packed_step()
             self._packed_step_many_fn = jax.jit(
                 jax.vmap(
-                    lambda prof, stacks, seg_inputs, seg_sats: step(prof, stacks, seg_inputs, seg_sats),
+                    lambda prof, stacks, seg_inputs, seg_sats: step(
+                        prof, None, (), stacks, seg_inputs, seg_sats
+                    ),
                     in_axes=(0, None, None, None),
                 ),
                 static_argnames=("seg_sats",),
@@ -444,6 +497,11 @@ class SearchEngine:
         scores = np.zeros(packed.n_sequences, dtype=np.int32)
         sat_ids: List[int] = []
         off = 0
+        for group in packed.wave_groups:
+            vals = flat_all[off : off + group.rows]
+            off += group.rows
+            valid = group.ids >= 0
+            scores[group.ids[valid]] = vals[valid]  # exact int32: no rescore
         for group in packed.groups:
             size = group.chunks * group.rows
             vals = flat_all[off : off + size]
@@ -490,11 +548,19 @@ class SearchEngine:
         with timer.phase("plan"):
             profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
             profile_dev = self._device_put(profile)
+            lhsB_dev = None
+            if packed.wave_groups:
+                from ..ops import wave_sw
+
+                prof_w = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=wave_sw.W)
+                lhsB_dev = self._device_put(wave_sw.build_lhs_banded(prof_w))
 
         t_device = time.perf_counter()
         flat_all = np.asarray(
             self._packed_step()(
                 profile_dev,
+                lhsB_dev,
+                tuple(g.stack for g in packed.wave_groups),
                 tuple(g.stack for g in packed.groups),
                 tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
                 tuple(g.sat for g in packed.seg_groups),

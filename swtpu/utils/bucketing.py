@@ -220,11 +220,14 @@ class PackedDatabase:
     groups: Tuple[PackedGroup, ...]
     n_sequences: int
     seg_groups: Tuple = ()  # Tuple[segpack.PackedSegGroup, ...]
+    wave_groups: Tuple = ()  # Tuple[WaveGroup, ...] (wavefront-kernel path)
 
     @property
     def total_cells(self) -> int:
-        return sum(g.chunks * g.rows * g.width for g in self.groups) + sum(
-            g.cells for g in self.seg_groups
+        return (
+            sum(g.chunks * g.rows * g.width for g in self.groups)
+            + sum(g.cells for g in self.seg_groups)
+            + sum(g.cells for g in self.wave_groups)
         )
 
 
@@ -253,6 +256,91 @@ def pack_database(db: Database, plan: BatchPlan, device_put=None) -> PackedDatab
             )
         )
     return PackedDatabase(groups=tuple(groups), n_sequences=plan.n_sequences)
+
+
+def wave_width_edges(max_len: int, ratio: float = 1.25) -> List[int]:
+    """Width ladder for the wavefront kernel: widths w with (w+32) % 64 == 0.
+
+    The wavefront layout (swtpu.ops.wave_sw) puts subjects on lanes and pads
+    each bucket by exactly W=32 trailing columns, so a (w+32)-on-the-64-grid
+    ladder makes the kernel's chunk round-up waste ZERO.  Fine 64-steps up
+    to 480 (SwissProt's median ~290 lands with ~10% pad), then geometric.
+    """
+    edges = []
+    l2 = 64
+    while True:
+        edges.append(l2 - 32)
+        if l2 - 32 >= max_len:
+            return edges
+        if l2 < 512:
+            l2 += 64
+        else:
+            l2 = -(-int(l2 * ratio) // 64) * 64
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveGroup:
+    """One wavefront bucket: transposed (width+32, Bpad) int8 subjects.
+
+    ``ids`` is (Bpad,) int64 with -1 marking pad lanes; ``lc``/``bt`` are the
+    kernel's chunk/lane-tile params (swtpu.ops.wave_sw.pick_lc / pick_bt).
+    """
+
+    width: int
+    lc: int
+    bt: int
+    stack: object  # (width+32, Bpad) int8 — np.ndarray or jax.Array
+    ids: np.ndarray  # (Bpad,) int64, -1 = pad lane
+
+    @property
+    def rows(self) -> int:
+        return int(self.ids.shape[0])
+
+    @property
+    def cells(self) -> int:
+        return self.rows * (self.width + 32)
+
+
+def pack_database_wave(db: Database, device_put=None, max_rows: int = 1 << 20) -> Tuple:
+    """Pack a database into wavefront buckets (one per ladder width).
+
+    Zero-length records never enter a bucket (they score 0 by definition).
+    Buckets larger than max_rows split, so the carry buffer stays bounded.
+    """
+    from ..ops import wave_sw
+
+    lengths = np.asarray(db.lengths, dtype=np.int64)
+    n = int(lengths.shape[0])
+    if n == 0:
+        return ()
+    pos = lengths > 0
+    if not pos.any():
+        return ()
+    edges = np.array(wave_width_edges(int(lengths.max())), dtype=np.int64)
+    which = np.searchsorted(edges, lengths[pos])
+    idx_pos = np.nonzero(pos)[0]
+    groups = []
+    for e in np.unique(which):
+        width = int(edges[e])
+        ids_all = idx_pos[which == e]
+        for s in range(0, ids_all.shape[0], max_rows):
+            ids = ids_all[s : s + max_rows]
+            bt = wave_sw.pick_bt(ids.shape[0])
+            bpad = -(-ids.shape[0] // bt) * bt
+            flat = pack_batch(db, Batch(ids=ids.astype(np.int32), rows=bpad, width=width))
+            stack = wave_sw.transpose_pad(flat, width)
+            full_ids = np.full(bpad, -1, dtype=np.int64)
+            full_ids[: ids.shape[0]] = ids
+            groups.append(
+                WaveGroup(
+                    width=width,
+                    lc=wave_sw.pick_lc(width),
+                    bt=bt,
+                    stack=device_put(stack) if device_put is not None else stack,
+                    ids=full_ids,
+                )
+            )
+    return tuple(groups)
 
 
 def scatter_scores(plan: BatchPlan, per_batch_scores: Sequence[np.ndarray]) -> np.ndarray:

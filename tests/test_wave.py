@@ -1,0 +1,106 @@
+"""Wavefront Pallas kernel (swtpu.ops.wave_sw) vs the XLA exact kernel.
+
+Interpret mode on the CPU mesh makes the kernel testable without a TPU;
+cases are kept tiny because interpret emulates the DMA machinery in Python.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swtpu.matrices import blosum50_ref
+from swtpu.ops import wave_sw, xla_sw
+
+
+def _random_bucket(rng, B, L, full=False):
+    subj = np.full((B, L), xla_sw.PAD_SUBJECT, np.int8)
+    for i in range(B):
+        n = L if full else int(rng.integers(1, L + 1))
+        subj[i, :n] = rng.integers(0, 25, n)
+    return subj
+
+
+@pytest.mark.parametrize(
+    "B,L,Q",
+    [
+        (128, 100, 32),  # single band, single chunk
+        (128, 100, 70),  # multi-band (top-carry path), pad query rows
+        (128, 300, 100),  # multi-chunk (D/tail carry + lookback path)
+    ],
+)
+def test_wave_matches_xla_exact(B, L, Q):
+    rng = np.random.default_rng(42)
+    m = blosum50_ref()
+    q = rng.integers(0, 25, Q).astype(np.int8)
+    subj = _random_bucket(rng, B, L)
+    prof = xla_sw.make_profile(q, m, pad_rows_to=wave_sw.W)
+    got = np.asarray(wave_sw.sw_score_bucket_wave(prof, subj, gap=2, interpret=True))
+    ref = np.asarray(
+        xla_sw.sw_score_bucket(
+            jnp.asarray(xla_sw.make_profile(q, m, pad_rows_to=32)), jnp.asarray(subj), gap=2, strip=32
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_wave_edge_cases():
+    """Empty subjects, width-1 subjects, uneven B padding."""
+    rng = np.random.default_rng(7)
+    m = blosum50_ref()
+    q = rng.integers(0, 25, 33).astype(np.int8)  # 2 bands with pad rows
+    subj = np.full((67, 64), xla_sw.PAD_SUBJECT, np.int8)  # B=67: pads to 128
+    subj[0, :] = rng.integers(0, 25, 64)  # full-width row
+    subj[1, :1] = rng.integers(0, 25, 1)  # single residue
+    # row 2 left fully empty (zero-length sequence -> score 0)
+    for i in range(3, 67):
+        n = int(rng.integers(1, 65))
+        subj[i, :n] = rng.integers(0, 25, n)
+    prof = xla_sw.make_profile(q, m, pad_rows_to=wave_sw.W)
+    got = np.asarray(wave_sw.sw_score_bucket_wave(prof, subj, gap=2, interpret=True))
+    ref = np.asarray(
+        xla_sw.sw_score_bucket(
+            jnp.asarray(xla_sw.make_profile(q, m, pad_rows_to=32)), jnp.asarray(subj), gap=2, strip=32
+        )
+    )
+    assert got.shape == (67,)
+    assert ref[2] == 0 and got[2] == 0
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_wave_gap_penalty_variants():
+    rng = np.random.default_rng(3)
+    m = blosum50_ref()
+    q = rng.integers(0, 25, 40).astype(np.int8)
+    subj = _random_bucket(rng, 128, 90)
+    for gap in (1, 3, 7):
+        prof = xla_sw.make_profile(q, m, pad_rows_to=wave_sw.W)
+        got = np.asarray(wave_sw.sw_score_bucket_wave(prof, subj, gap=gap, interpret=True))
+        ref = np.asarray(
+            xla_sw.sw_score_bucket(
+                jnp.asarray(xla_sw.make_profile(q, m, pad_rows_to=32)),
+                jnp.asarray(subj),
+                gap=gap,
+                strip=32,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_engine_wave_mode_matches_default():
+    """SearchEngine with use_wave=True (interpret) == default engine scores."""
+    from swtpu.alphabet import encode_str
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Query, database_from_sequences
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(11)
+    alphabet = "ARNDCQEGHILKMFPSTWYV"
+    seqs = ["".join(rng.choice(list(alphabet), size=int(n))) for n in rng.integers(5, 150, 40)]
+    seqs[3] = ""  # zero-length record
+    db = database_from_sequences(seqs)
+    qs = "".join(rng.choice(list(alphabet), size=48))
+    q = Query(name="Q1", residues=encode_str(qs), raw=qs)
+
+    ref = SearchEngine(SWConfig(use_wave=False)).search(q, db)
+    wave = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+    np.testing.assert_array_equal(wave.scores, ref.scores)
