@@ -56,7 +56,7 @@ def pick_lc(width: int) -> int:
     padding up.  Buckets from wave_width_edges satisfy (width + W) % 64 == 0.
     """
     need = width + W
-    for lc in (256, 128, 64):
+    for lc in (256, 224, 192, 160, 128, 96, 64):
         if need % lc == 0:
             return lc
     return 64

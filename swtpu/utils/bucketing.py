@@ -319,10 +319,31 @@ def pack_database_wave(db: Database, device_put=None, max_rows: int = 1 << 20) -
     edges = np.array(wave_width_edges(int(lengths.max())), dtype=np.int64)
     which = np.searchsorted(edges, lengths[pos])
     idx_pos = np.nonzero(pos)[0]
+    # Absorb sparse wide rungs downward: every bucket pays a 128-lane tile
+    # floor, so a handful of ultra-long sequences per rung would waste up to
+    # 127 pad lanes x a huge width each.  Merge the widest rungs until the
+    # open bucket fills its minimum tile (the width-pad added is far below
+    # the lane-pad saved for tail-shaped length distributions).
+    rung_list: List[Tuple[int, np.ndarray]] = []
+    open_ids: List[np.ndarray] = []
+    open_w = None
+    for e in sorted(np.unique(which), reverse=True):
+        ids_e = idx_pos[which == e]
+        if open_w is not None and ids_e.shape[0] >= 128:
+            # incoming rung stands on its own: flush the sparse open bucket
+            rung_list.append((open_w, np.concatenate(open_ids)))
+            open_w, open_ids = None, []
+        if open_w is None:
+            open_w, open_ids = int(edges[e]), [ids_e]
+        else:
+            open_ids.append(ids_e)
+        if sum(a.shape[0] for a in open_ids) >= 128:
+            rung_list.append((open_w, np.concatenate(open_ids)))
+            open_w, open_ids = None, []
+    if open_w is not None:
+        rung_list.append((open_w, np.concatenate(open_ids)))
     groups = []
-    for e in np.unique(which):
-        width = int(edges[e])
-        ids_all = idx_pos[which == e]
+    for width, ids_all in sorted(rung_list):
         for s in range(0, ids_all.shape[0], max_rows):
             ids = ids_all[s : s + max_rows]
             bt = wave_sw.pick_bt(ids.shape[0])
