@@ -74,12 +74,13 @@ def format_matrix(seq_a: str, seq_b: str, H: np.ndarray) -> str:
     """The reference's matrix dump format (src/cpu.cpp:111-124).
 
     Faithful quirk: the column-header loop runs to len(seq_b)+1 inclusive,
-    so it prints one trailing header slot past the last letter (indexing
-    one past the string in C++); we emit a space there.
+    reading seqB[size()] — which for std::string is the terminating NUL —
+    so the reference emits a literal NUL byte in that slot.  We emit the
+    same byte: tests/test_cpu_cpp_differential.py asserts byte-identical
+    stdout against the g++-compiled reference binary.
     """
     lines = []
-    head = "    " + " ".join(list(seq_b) + [" "])
-    lines.append(head.rstrip() + " ")
+    lines.append("    " + "".join(c + " " for c in seq_b) + "\x00 ")
     for i in range(H.shape[0]):
         prefix = "  " if i == 0 else seq_a[i - 1] + " "
         lines.append(prefix + " ".join(str(int(v)) for v in H[i]) + " ")
