@@ -38,8 +38,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-scores", action="store_true", help="skip the per-sequence score dump")
     p.add_argument("--json", action="store_true", help="emit metrics as one JSON line")
-    p.add_argument("--pallas", action="store_true", help="use the Pallas kernel family")
+    p.add_argument("--pallas", action="store_true", help="use the legacy row-parallel Pallas kernel")
     p.add_argument("--no-pallas", action="store_true", help="force the XLA kernel")
+    p.add_argument(
+        "--wave",
+        dest="wave",
+        action="store_true",
+        default=None,
+        help="force the wavefront Pallas kernel (default: auto, ON on TPU)",
+    )
+    p.add_argument("--no-wave", dest="wave", action="store_false", help="disable the wavefront kernel")
+    p.add_argument(
+        "--mesh",
+        type=int,
+        default=1,
+        metavar="N",
+        help="shard the database over N devices (jax.sharding mesh; "
+        "multi-host runs use swtpu.parallel.distributed instead)",
+    )
     p.add_argument(
         "--profile",
         metavar="DIR",
@@ -65,7 +81,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         batch_rows=args.batch_rows,
         length_quantum=args.length_quantum,
         use_pallas=args.pallas and not args.no_pallas,
+        use_wave=args.wave,
         top_k=args.top_k,
+        mesh_shape=(args.mesh,),
     )
 
     query = parse_query(args.query)

@@ -41,13 +41,26 @@ from ..utils.metrics import PhaseTimer, SearchMetrics
 
 @dataclasses.dataclass
 class SearchResult:
-    """Scores in database file order + throughput accounting."""
+    """Scores in database file order + throughput accounting.
 
-    scores: np.ndarray  # (n,) int32, index = 0-based FASTA file-order id
+    When the engine ran with ``config.top_k`` set on a wavefront-packed
+    database, ``scores`` is None (the full array never leaves the device)
+    and ``hits`` holds the device-computed top-K.
+    """
+
+    scores: Optional[np.ndarray]  # (n,) int32, index = 0-based file-order id
     metrics: SearchMetrics
+    hits: Optional[List[Tuple[int, int]]] = None  # engine-level top-K
 
     def top_k(self, k: int) -> List[Tuple[int, int]]:
         """Top-k (id, score), score-descending, id-ascending tie-break."""
+        if self.scores is None:
+            if self.hits is None or k > len(self.hits):
+                raise ValueError(
+                    f"top_k({k}) unavailable: engine ran with top_k={len(self.hits or [])} "
+                    "and no full score array"
+                )
+            return self.hits[:k]
         n = self.scores.shape[0]
         k = min(k, n)
         if k == 0:
@@ -173,6 +186,14 @@ class SearchEngine:
 
         return kernel
 
+    @property
+    def _row_multiple(self) -> int:
+        """Batch rows divide both the 8-sublane tile and the mesh size."""
+        import math
+
+        n = self.config.n_devices
+        return 8 * n // math.gcd(8, n)
+
     def plan(self, db: Database) -> BatchPlan:
         cfg = self.config
         return plan_batches(
@@ -180,6 +201,7 @@ class SearchEngine:
             batch_rows=cfg.batch_rows,
             length_quantum=cfg.length_quantum,
             max_batch_cells=min(cfg.chunk_budget_residues, cfg.max_batch_cells),
+            min_rows=self._row_multiple,
         )
 
     def pack_to_device(self, db: Database, plan: Optional[BatchPlan] = None) -> PackedDatabase:
@@ -248,7 +270,7 @@ class SearchEngine:
                     width=width,
                     s_max=s_max_for(width),
                     device_put=self._device_put,
-                    row_multiple=cfg.n_devices,
+                    row_multiple=self._row_multiple,
                 )
             )
         long_idx = np.nonzero(~short)[0]
@@ -259,7 +281,7 @@ class SearchEngine:
                 length_quantum=cfg.length_quantum,
                 max_batch_cells=min(cfg.chunk_budget_residues, cfg.max_batch_cells),
                 min_width=cfg.seg_widths[-1],
-                min_rows=max(8, cfg.n_devices),
+                min_rows=self._row_multiple,
             )
             # remap the subset plan's positional ids to global database ids
             remapped = dataclasses.replace(
@@ -377,6 +399,63 @@ class SearchEngine:
 
         self._packed_step_fn = jax.jit(step, static_argnames=("seg_sats",))
         return self._packed_step_fn
+
+    def _topk_step(self):
+        """Device top-K over the wave-packed flat scores (cfg.top_k path).
+
+        Returns (vals, pos) for the top `k` flat positions; under a mesh the
+        flat array is lane-sharded and XLA inserts the collective merge.
+        The full score array never leaves the device (VERDICT item 6).
+        """
+        if getattr(self, "_topk_step_fn", None) is not None:
+            return self._topk_step_fn
+        cfg = self.config
+
+        def step(lhsB, wave_stacks, k):
+            from ..ops import wave_sw
+
+            outs = []
+            for subjT in wave_stacks:
+                L2, Bp = subjT.shape
+                outs.append(
+                    wave_sw.sw_wave(
+                        lhsB,
+                        subjT,
+                        gap=cfg.gap_penalty,
+                        Lc=wave_sw.pick_lc(L2 - wave_sw.W),
+                        Bt=wave_sw.pick_bt(Bp),
+                        interpret=cfg.interpret,
+                    )
+                )
+            flat = jnp.concatenate(outs)
+            return jax.lax.top_k(flat, k)
+
+        self._topk_step_fn = jax.jit(step, static_argnames=("k",))
+        return self._topk_step_fn
+
+    def _device_topk_hits(self, packed: PackedDatabase, lhsB_dev, k: int):
+        """Run the device top-K step and resolve exact (id, score) hits.
+
+        Fetches an over-sized candidate set (device top_k tie-breaks by
+        flat position, not database id), re-ranks host-side with the
+        engine's (score desc, id asc) order, and returns None to signal
+        "fall back to the full array" when boundary ties could extend past
+        the fetched candidates.
+        """
+        ids_flat = np.concatenate([g.ids for g in packed.wave_groups])
+        total = int(ids_flat.shape[0])
+        kk = min(total, max(4 * k + 64, k))
+        vals, pos = self._topk_step()(
+            lhsB_dev, tuple(g.stack for g in packed.wave_groups), k=kk
+        )
+        vals, pos = np.asarray(vals), np.asarray(pos)
+        cand_ids = ids_flat[pos]
+        keep = cand_ids >= 0  # drop pad lanes (score 0)
+        vals, cand_ids = vals[keep], cand_ids[keep]
+        if vals.shape[0] > k and kk < total and vals[k - 1] == vals[-1]:
+            return None  # k-th score ties run off the candidate set
+        order = np.lexsort((cand_ids, -vals))[:k]
+        return [(int(cand_ids[i]), int(vals[i])) for i in order]
 
     def search_many(
         self, queries: List[Query], db: Database, packed: Optional[PackedDatabase] = None
@@ -554,6 +633,31 @@ class SearchEngine:
 
                 prof_w = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=wave_sw.W)
                 lhsB_dev = self._device_put(wave_sw.build_lhs_banded(prof_w))
+
+        # Engine-level top-K: when the database is wave-packed (every score
+        # exact, no per-segment postprocessing), the top-K reduces on device
+        # and the full score array never transfers.
+        if (
+            cfg.top_k is not None
+            and packed.wave_groups
+            and not packed.groups
+            and not packed.seg_groups
+        ):
+            t_device = time.perf_counter()
+            hits = self._device_topk_hits(packed, lhsB_dev, cfg.top_k)
+            if hits is not None:
+                device_seconds = time.perf_counter() - t_device
+                metrics = SearchMetrics(
+                    query_length=query.length,
+                    n_subjects=db.n,
+                    residue_sum=db.length_sum,
+                    padded8_sum=db.padded_length_sum(8),
+                    packed_cells=profile.shape[0] * packed.total_cells,
+                    wall_seconds=time.perf_counter() - t_start,
+                    device_seconds=max(device_seconds, 1e-12),
+                    phases=dict(timer.phases),
+                )
+                return SearchResult(scores=None, metrics=metrics, hits=hits)
 
         t_device = time.perf_counter()
         flat_all = np.asarray(

@@ -104,3 +104,24 @@ def test_engine_wave_mode_matches_default():
     ref = SearchEngine(SWConfig(use_wave=False)).search(q, db)
     wave = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
     np.testing.assert_array_equal(wave.scores, ref.scores)
+
+
+def test_engine_device_topk_wave():
+    """cfg.top_k on a wave-packed database: device top-K, scores stay on
+    device (SearchResult.scores is None), hits match the full-array path."""
+    from swtpu.alphabet import encode_str
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Query, database_from_sequences
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(23)
+    alphabet = "ARNDCQEGHILKMFPSTWYV"
+    seqs = ["".join(rng.choice(list(alphabet), size=int(n))) for n in rng.integers(5, 120, 30)]
+    db = database_from_sequences(seqs)
+    qs = "".join(rng.choice(list(alphabet), size=40))
+    q = Query(name="Q1", residues=encode_str(qs), raw=qs)
+
+    full = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+    topk = SearchEngine(SWConfig(use_wave=True, interpret=True, top_k=5)).search(q, db)
+    assert topk.scores is None
+    assert topk.hits == full.top_k(5)
