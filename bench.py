@@ -43,11 +43,14 @@ def synth_database(n_seqs: int, seed: int = 0):
 
 
 def load_query(name: str, length: int, seed: int = 1):
+    """Load a Performance-suite query (vendored copies first, then the
+    reference mount); random-content fallback only if both are missing."""
     from swtpu.io.fasta import Query, parse_query
 
-    ref = Path("/root/reference/data/queries") / f"{name}.fasta"
-    if ref.exists():
-        return parse_query(ref)
+    for base in (Path(__file__).parent / "tests/data/queries", Path("/root/reference/data/queries")):
+        p = base / f"{name}.fasta"
+        if p.exists():
+            return parse_query(p)
     rng = np.random.default_rng(seed)
     res = rng.integers(0, 25, length).astype(np.int8)
     return Query(name=name, residues=res, raw="")

@@ -98,6 +98,14 @@ class SearchEngine:
 
             self._mesh = make_mesh(config.n_devices, axis=config.mesh_axes[0])
         self._wave_enabled = self._resolve_wave()
+        # Residency budget honours the device's ACTUAL free HBM when the
+        # runtime exposes it (the reference instead does unchecked ~4 GB
+        # fixed allocations, src/SWSolver.cu:276-288).
+        from ..utils.memory import resident_cell_budget
+
+        self._resident_cells = resident_cell_budget(config.device_resident_cells) * max(
+            1, config.n_devices
+        )
 
     def _resolve_wave(self) -> bool:
         """Decide whether the wavefront Pallas path is active.
@@ -484,7 +492,7 @@ class SearchEngine:
             # Honour the residency budget like search(): oversized or
             # explicitly non-resident databases fall back to per-query
             # streaming searches instead of packing HBM anyway.
-            if not cfg.device_resident or self.plan(db).total_cells > cfg.device_resident_cells:
+            if not cfg.device_resident or self.plan(db).total_cells > self._resident_cells:
                 return [self.search(q, db) for q in queries]
             cached = getattr(self, "_resident", None)
             if cached is None or cached[0] is not db:
@@ -660,16 +668,25 @@ class SearchEngine:
                 return SearchResult(scores=None, metrics=metrics, hits=hits)
 
         t_device = time.perf_counter()
-        flat_all = np.asarray(
-            self._packed_step()(
-                profile_dev,
-                lhsB_dev,
-                tuple(g.stack for g in packed.wave_groups),
-                tuple(g.stack for g in packed.groups),
-                tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
-                tuple(g.sat for g in packed.seg_groups),
+        try:
+            flat_all = np.asarray(
+                self._packed_step()(
+                    profile_dev,
+                    lhsB_dev,
+                    tuple(g.stack for g in packed.wave_groups),
+                    tuple(g.stack for g in packed.groups),
+                    tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
+                    tuple(g.sat for g in packed.seg_groups),
+                )
             )
-        )
+        except Exception as e:  # surface XLA OOM aborts actionably
+            from ..utils.memory import reraise_oom
+
+            reraise_oom(
+                e,
+                f"scoring a packed database of {packed.total_cells} cells "
+                f"(query length {query.length})",
+            )
         device_seconds = time.perf_counter() - t_device
 
         with timer.phase("reduce"):
@@ -700,7 +717,7 @@ class SearchEngine:
 
         # Auto-resident fast path: pack the database into HBM once (cached
         # per Database object) and search with stacked dispatches.
-        if cfg.device_resident and plan.total_cells <= cfg.device_resident_cells:
+        if cfg.device_resident and plan.total_cells <= self._resident_cells:
             cached = getattr(self, "_resident", None)
             if cached is None or cached[0] is not db:
                 self._resident = (db, self.pack_to_device(db, plan))

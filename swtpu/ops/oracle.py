@@ -154,6 +154,40 @@ def sw_matrix_h(query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, gap:
     return H
 
 
+def sw_matrix_h_from(
+    query: np.ndarray,
+    subject: np.ndarray,
+    matrix: np.ndarray,
+    gap: int,
+    first_row: np.ndarray,
+    i_lo: int,
+    i_hi: int,
+) -> np.ndarray:
+    """Rows ``i_lo..i_hi`` (inclusive) of H, given ``H[i_lo] == first_row``.
+
+    The row recurrence is Markov in the previous row, so any block of rows
+    recomputes exactly from a checkpointed row — the building block of the
+    memory-bounded traceback (swtpu.models.align), which replaces the full
+    (m+1)x(n+1) materialisation (1.5 GB for a 5.5k-aa query vs a 35k-aa
+    subject) with O(sqrt(m)*n) checkpoints + one block.
+    """
+    q = np.asarray(query, dtype=np.int64)
+    s = np.asarray(subject, dtype=np.int64)
+    n = len(s)
+    rows = i_hi - i_lo + 1
+    H = np.zeros((rows, n + 1), dtype=np.int64)
+    H[0] = first_row
+    rebase = gap * np.arange(1, n + 1, dtype=np.int64)
+    for r in range(1, rows):
+        i = i_lo + r
+        sub = matrix[q[i - 1], s]
+        prev = H[r - 1]
+        t = np.maximum(0, prev[:-1] + sub)
+        np.maximum(t, prev[1:] - gap, out=t)
+        H[r, 1:] = np.maximum.accumulate(t + rebase) - rebase
+    return H
+
+
 def sw_score_diag(query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, gap: int) -> int:
     """Anti-diagonal vectorised SW max-score (NumPy).
 

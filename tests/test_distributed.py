@@ -52,13 +52,16 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_search(tmp_path):
+@pytest.mark.parametrize("nproc,n_seqs", [(2, 30), (3, 31)])
+def test_multi_process_distributed_search(tmp_path, nproc, n_seqs):
+    """2 processes (even shards) and 3 processes (odd count: uneven
+    shard_range split, VERDICT round-1 item 7)."""
     from swtpu.config import SWConfig
     from swtpu.io.fasta import parse_database, parse_query, write_fasta
     from swtpu.models.search import SearchEngine
 
     rng = np.random.default_rng(17)
-    seqs = ["".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, int(rng.integers(20, 120)))) for _ in range(30)]
+    seqs = ["".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, int(rng.integers(20, 120)))) for _ in range(n_seqs)]
     db_path = tmp_path / "db.fasta"
     write_fasta(db_path, seqs)
     q_path = tmp_path / "q.fasta"
@@ -77,13 +80,13 @@ def test_two_process_distributed_search(tmp_path):
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(pid), "2", str(port)],
+            [sys.executable, "-c", WORKER, str(pid), str(nproc), str(port)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
             env=env,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -97,11 +100,18 @@ def test_two_process_distributed_search(tmp_path):
         d = json.loads(line[len("RESULT ") :])
         results[d["pid"]] = d
 
-    # Both processes computed the same global top-K.
-    assert results[0]["hits"] == results[1]["hits"]
-    # Shards cover the database exactly.
-    assert results[0]["n_local"] + results[1]["n_local"] == 30
-    assert results[1]["base"] == results[0]["n_local"]
+    # Every process computed the same global top-K.
+    for pid in range(1, nproc):
+        assert results[pid]["hits"] == results[0]["hits"]
+    # Shards cover the database exactly and bases are cumulative.
+    assert sum(results[p]["n_local"] for p in range(nproc)) == n_seqs
+    base = 0
+    for p in range(nproc):
+        assert results[p]["base"] == base
+        base += results[p]["n_local"]
+    if n_seqs % nproc:  # odd count: shards must be uneven
+        sizes = {results[p]["n_local"] for p in range(nproc)}
+        assert len(sizes) > 1
 
     # And it matches the single-process engine.
     eng = SearchEngine(SWConfig(batch_rows=8, length_quantum=8))

@@ -84,3 +84,26 @@ def test_pallas_config_routes_ladder_groups():
     assert eng._group_threshold(512) is None  # exact Pallas path
     eng2 = SearchEngine(SWConfig(use_pallas=False))
     assert eng2._group_threshold(512) is not None  # fast16 + rescore path
+
+
+def test_oom_reraise_helper():
+    """XLA RESOURCE_EXHAUSTED aborts surface as actionable errors."""
+    import pytest
+
+    from swtpu.utils.memory import reraise_oom
+
+    with pytest.raises(RuntimeError, match="device out of memory.*device_resident_cells"):
+        reraise_oom(RuntimeError("RESOURCE_EXHAUSTED: Out of memory allocating 4096 bytes"), "scoring")
+    # non-OOM errors pass through unchanged
+    with pytest.raises(ValueError, match="boom"):
+        reraise_oom(ValueError("boom"), "scoring")
+
+
+def test_resident_budget_probe():
+    """Budget never exceeds the configured cap; probe failure falls back."""
+    from swtpu.utils.memory import device_free_bytes, resident_cell_budget
+
+    cap = 1 << 20
+    assert resident_cell_budget(cap) <= cap
+    free = device_free_bytes()
+    assert free is None or free >= 0
