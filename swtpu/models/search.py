@@ -120,8 +120,6 @@ class SearchEngine:
             return False
         if cfg.use_wave is not None:
             return cfg.use_wave
-        if self._mesh is not None:
-            return False  # GSPMD path keeps the XLA kernels (shard_map wave: TODO)
         return any(d.platform == "tpu" for d in jax.devices())
 
     def _device_put(self, arr):
@@ -235,12 +233,23 @@ class SearchEngine:
             # (widths with (w+32) % 64 == 0 — zero kernel round-up waste);
             # subjects live on lanes, so short sequences need no segment
             # packing and results are exact int32 with no rescore pass.
+            # Under a mesh, buckets shard along LANES (subjects) and the
+            # kernel runs per-shard inside shard_map.
             from ..utils.bucketing import pack_database_wave
 
+            if self._mesh is None:
+                dput = self._device_put
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                lane_sharded = NamedSharding(self._mesh, P(None, cfg.mesh_axes[0]))
+                dput = lambda a: jax.device_put(a, lane_sharded)  # noqa: E731
             return PackedDatabase(
                 groups=(),
                 n_sequences=db.n,
-                wave_groups=pack_database_wave(db, device_put=self._device_put),
+                wave_groups=pack_database_wave(
+                    db, device_put=dput, lane_multiple=cfg.n_devices
+                ),
             )
 
         # Segment packing needs a usable saturation ceiling; huge gap
@@ -331,22 +340,48 @@ class SearchEngine:
         cfg = self.config
         stage_int8 = self._stage_int8
 
+        mesh = self._mesh
+
+        def wave_one(lhsB, subjT):
+            from ..ops import wave_sw
+
+            L2, Bp = subjT.shape
+            return wave_sw.sw_wave(
+                lhsB,
+                subjT,
+                gap=cfg.gap_penalty,
+                Lc=wave_sw.pick_lc(L2 - wave_sw.W),
+                Bt=wave_sw.pick_bt_div(Bp),
+                interpret=cfg.interpret,
+            )
+
+        if mesh is not None:
+            # Lane-sharded wavefront: each device scores its subject shard
+            # with the same Pallas kernel; concat/top-k outside the
+            # shard_map inserts the (tiny) collectives.
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+
+            axis = cfg.mesh_axes[0]
+            _wave_local = wave_one
+
+            def wave_one(lhsB, subjT):  # noqa: F811
+                return shard_map(
+                    _wave_local,
+                    mesh=mesh,
+                    in_specs=(P(), P(None, axis)),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )(lhsB, subjT)
+
         def step(profile, lhsB, wave_stacks, stacks, seg_inputs, seg_sats):
             outs = []
             for subjT in wave_stacks:
-                from ..ops import wave_sw
-
-                L2, Bp = subjT.shape
-                outs.append(
-                    wave_sw.sw_wave(
-                        lhsB,
-                        subjT,
-                        gap=cfg.gap_penalty,
-                        Lc=wave_sw.pick_lc(L2 - wave_sw.W),
-                        Bt=wave_sw.pick_bt(Bp),
-                        interpret=cfg.interpret,
-                    )
-                )
+                outs.append(wave_one(lhsB, subjT))
             for stack in stacks:
                 width = stack.shape[2]
                 sat = xla_sw.fast16_sat(cfg.gap_penalty, width)
@@ -419,22 +454,43 @@ class SearchEngine:
             return self._topk_step_fn
         cfg = self.config
 
-        def step(lhsB, wave_stacks, k):
+        mesh = self._mesh
+
+        def wave_one(lhsB, subjT):
             from ..ops import wave_sw
 
-            outs = []
-            for subjT in wave_stacks:
-                L2, Bp = subjT.shape
-                outs.append(
-                    wave_sw.sw_wave(
-                        lhsB,
-                        subjT,
-                        gap=cfg.gap_penalty,
-                        Lc=wave_sw.pick_lc(L2 - wave_sw.W),
-                        Bt=wave_sw.pick_bt(Bp),
-                        interpret=cfg.interpret,
-                    )
-                )
+            L2, Bp = subjT.shape
+            return wave_sw.sw_wave(
+                lhsB,
+                subjT,
+                gap=cfg.gap_penalty,
+                Lc=wave_sw.pick_lc(L2 - wave_sw.W),
+                Bt=wave_sw.pick_bt_div(Bp),
+                interpret=cfg.interpret,
+            )
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+
+            axis = cfg.mesh_axes[0]
+            _wave_local = wave_one
+
+            def wave_one(lhsB, subjT):  # noqa: F811
+                return shard_map(
+                    _wave_local,
+                    mesh=mesh,
+                    in_specs=(P(), P(None, axis)),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )(lhsB, subjT)
+
+        def step(lhsB, wave_stacks, k):
+            outs = [wave_one(lhsB, subjT) for subjT in wave_stacks]
             flat = jnp.concatenate(outs)
             return jax.lax.top_k(flat, k)
 

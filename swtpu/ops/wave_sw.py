@@ -70,6 +70,16 @@ def pick_bt(n_rows: int) -> int:
     return 128
 
 
+def pick_bt_div(n_rows: int) -> int:
+    """Largest lane-tile that exactly divides an already-padded lane count
+    (callers that pad with pick_bt may later split across mesh shards,
+    leaving a multiple of 128 that 512 need not divide)."""
+    for bt in (512, 256, 128):
+        if n_rows % bt == 0:
+            return bt
+    raise ValueError(f"lane count {n_rows} is not a multiple of 128")
+
+
 def build_lhs_banded(profile: np.ndarray) -> np.ndarray:
     """Per-band banded skew-staging lhs: (n_bands, G*W, KPAD) int8.
 

@@ -301,11 +301,16 @@ class WaveGroup:
         return self.rows * (self.width + 32)
 
 
-def pack_database_wave(db: Database, device_put=None, max_rows: int = 1 << 20) -> Tuple:
+def pack_database_wave(
+    db: Database, device_put=None, max_rows: int = 1 << 20, lane_multiple: int = 1
+) -> Tuple:
     """Pack a database into wavefront buckets (one per ladder width).
 
     Zero-length records never enter a bucket (they score 0 by definition).
     Buckets larger than max_rows split, so the carry buffer stays bounded.
+    ``lane_multiple`` (the mesh size) additionally pads each bucket's lane
+    count to bt * lane_multiple so a shard_map split leaves every shard a
+    whole number of lane tiles.
     """
     from ..ops import wave_sw
 
@@ -346,8 +351,9 @@ def pack_database_wave(db: Database, device_put=None, max_rows: int = 1 << 20) -
     for width, ids_all in sorted(rung_list):
         for s in range(0, ids_all.shape[0], max_rows):
             ids = ids_all[s : s + max_rows]
-            bt = wave_sw.pick_bt(ids.shape[0])
-            bpad = -(-ids.shape[0] // bt) * bt
+            bt = wave_sw.pick_bt(max(1, ids.shape[0] // lane_multiple))
+            quant = bt * lane_multiple
+            bpad = -(-ids.shape[0] // quant) * quant
             flat = pack_batch(db, Batch(ids=ids.astype(np.int32), rows=bpad, width=width))
             stack = wave_sw.transpose_pad(flat, width)
             full_ids = np.full(bpad, -1, dtype=np.int64)

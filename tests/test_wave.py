@@ -125,3 +125,27 @@ def test_engine_device_topk_wave():
     topk = SearchEngine(SWConfig(use_wave=True, interpret=True, top_k=5)).search(q, db)
     assert topk.scores is None
     assert topk.hits == full.top_k(5)
+
+
+def test_engine_wave_mesh_matches_single():
+    """Wavefront kernel under shard_map on the 8-device CPU mesh (interpret):
+    lane-sharded buckets, bit-identical to the single-device wave path."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from swtpu.alphabet import encode_str
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Query, database_from_sequences
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(31)
+    alphabet = "ARNDCQEGHILKMFPSTWYV"
+    seqs = ["".join(rng.choice(list(alphabet), size=int(n))) for n in rng.integers(5, 100, 24)]
+    db = database_from_sequences(seqs)
+    qs = "".join(rng.choice(list(alphabet), size=40))
+    q = Query(name="Q1", residues=encode_str(qs), raw=qs)
+
+    single = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+    meshed = SearchEngine(SWConfig(use_wave=True, interpret=True, mesh_shape=(2,))).search(q, db)
+    np.testing.assert_array_equal(meshed.scores, single.scores)
