@@ -160,6 +160,7 @@ def _wave_kernel(
         lastb_ref[:] = jnp.zeros_like(lastb_ref)
 
     # ---- one-hot over columns [t0-W, t0+Lc): lookback tail + this chunk
+    # (int32 iota: Mosaic supports only 16/32-bit iota)
     aid_t = jax.lax.broadcasted_iota(jnp.int32, (W, A32, Bt), 1)
     tail = jnp.where(chunk == 0, jnp.full((W, Bt), PAD_SUBJECT, jnp.int8), tail_ref[:])
     oh_t = (tail.astype(jnp.int32)[:, None, :] == aid_t).astype(jnp.int8)
