@@ -29,6 +29,7 @@ Scores are exact int32 and match swtpu.ops.oracle bit-for-bit.
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -121,6 +122,53 @@ def sw_score_bucket(profile: jax.Array, subjects: jax.Array, *, gap: int, strip:
     prof_strips = profile.reshape(qpad // strip, strip, A)
     (_, bestu), _ = jax.lax.scan(strip_step, (u0, u0), prof_strips)
     return jnp.max(bestu - rebase, axis=1)
+
+
+def sw_score_rows(
+    profile: jax.Array,
+    subjects: jax.Array,
+    u_in: jax.Array,
+    bestu_in: jax.Array,
+    *,
+    gap: int,
+    strip: int = 16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Advance the u-space DP by `qpad` query rows from an explicit carry.
+
+    The building block of cross-chip QUERY sharding
+    (swtpu.parallel.query_shard): device k owns a contiguous band of query
+    rows and receives (u, bestu) — the full (B, L) u-space row state and
+    per-column running best — from device k-1 over ICI.  Carry-in of
+    ``u = bestu = rebase`` reproduces :func:`sw_score_bucket` exactly;
+    the final score is ``max(bestu - rebase, axis=1)``.
+    """
+    qpad, A = profile.shape
+    assert qpad % strip == 0, "profile rows must be a multiple of strip"
+    B, L = subjects.shape
+
+    lanes = jnp.arange(A, dtype=jnp.int8)
+    oh = (subjects.astype(jnp.int8)[..., None] == lanes).astype(jnp.int8)
+    rebase = (jnp.arange(L, dtype=jnp.int32) * gap)[None, :]
+
+    def row_step(carry, s_row):
+        u_prev, bestu = carry
+        diag_u = jnp.pad(u_prev[:, :-1], ((0, 0), (1, 0)), constant_values=-gap)
+        t_u = jnp.maximum(jnp.maximum(rebase, diag_u + (s_row + gap)), u_prev - gap)
+        u = jax.lax.cummax(t_u, axis=1)
+        return (u, jnp.maximum(bestu, t_u)), None
+
+    def strip_step(carry, prof_strip):
+        s = jax.lax.dot_general(
+            prof_strip,
+            oh,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return jax.lax.scan(row_step, carry, s)[0], None
+
+    prof_strips = profile.reshape(qpad // strip, strip, A)
+    (u, bestu), _ = jax.lax.scan(strip_step, (u_in, bestu_in), prof_strips)
+    return u, bestu
 
 
 # Fast-path saturation margin: profiles are int8, so one substitution adds at

@@ -106,7 +106,17 @@ class DistributedSearchEngine:
         import jax.numpy as jnp
         from jax.experimental import multihost_utils
 
-        result = self._local.search(query, local_db)
+        # Per-shard retry (SURVEY §5 failure handling): one transient local
+        # failure (e.g. a device OOM after an HBM fragmentation spike, or a
+        # preempted remote attach) retries once with streaming (non-resident)
+        # dispatch before taking the whole collective down.
+        try:
+            result = self._local.search(query, local_db)
+        except Exception:
+            from ..models.search import SearchEngine
+
+            fallback = SearchEngine(self.config.replace(device_resident=False))
+            result = fallback.search(query, local_db)
         local_scores = result.scores
         k = min(top_k, max(local_scores.shape[0], 1))
 
