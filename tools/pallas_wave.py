@@ -53,7 +53,7 @@ def build_lhs_banded(profile: np.ndarray, W: int, g: int = 8) -> np.ndarray:
     DMAs complete the 8-multiple shifts per 8-row group of r.
     """
     qpad, A = profile.shape
-    assert A == A32 and qpad % W == 0 and g == 8
+    assert A == A32 and qpad % W == 0 and g in (2, 4, 8)
     n_bands = qpad // W
     K = _kpad(g)
     lhs = np.zeros((n_bands, g * W, K), dtype=np.int8)
@@ -86,6 +86,7 @@ def _wave_kernel(
     Lc: int,
     g: int,
 ):
+    lhs_g = g
     i = pl.program_id(0)
     band = pl.program_id(1)
     chunk = pl.program_id(2)
@@ -133,15 +134,16 @@ def _wave_kernel(
     # The lhs K-tail is zero, masking the scratch pad row-block.
     lhs = lhs_ref[0]
     K = lhs.shape[1]
-    for g0 in range((Lc + 24) // 8):
-        tlb = g0 * 8 - 24
+    g = lhs.shape[1] and lhs_g
+    for g0 in range((Lc + 24) // lhs_g):
+        tlb = g0 * lhs_g - 24
         sm = jax.lax.dot_general(
             lhs,
             oh_ref[pl.ds((tlb + 25) * A32, K), :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (8*W, Bt)
-        sp_ref[pl.ds(tlb + 24, 8), :, :] = sm.astype(jnp.int8).reshape(8, W, Bt)
+        )  # (g*W, Bt)
+        sp_ref[pl.ds(tlb + 24, lhs_g), :, :] = sm.astype(jnp.int8).reshape(lhs_g, W, Bt)
 
     # ---- complete the skew: 8-multiple shifts per 8-row group of r,
     # sk[tloc, r] = sp[24 + tloc - 8*(r//8), r] (all slices 8-aligned).
