@@ -137,21 +137,32 @@ def _wave_kernel(
     n_chunks = pl.num_programs(2)
     Bt = subj_ref.shape[1]
     t0 = chunk * Lc
+    # With >1 chunk per band, the bottom-row write DMA's target rows
+    # [t0, t0+Lc) are disjoint from the NEXT program's read window
+    # [t0'+W-8, t0'+Lc+W), so its completion wait defers to the next
+    # program (hiding the write under the grid transition).
+    defer_wr = n_chunks > 1
+
+    if defer_wr:
+        not_first = jnp.logical_or(i > 0, jnp.logical_or(band > 0, chunk > 0))
+
+        @pl.when(not_first)
+        def _wait_prev_brow():
+            # same byte count/semaphore as the previous program's write
+            pltpu.make_async_copy(
+                brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
+            ).wait()
 
     # ---- top-carry read: HBM row = column + W; window covers columns
     # [t0-8, t0+Lc) at rows [t0+W-8, t0+Lc+W).  All offsets/sizes 8-aligned
     # (a Mosaic DMA requirement on tiled dims).  Band 0's top is zeros.
-    @pl.when(band == 0)
-    def _top_zero():
-        tcw_ref[:] = jnp.zeros_like(tcw_ref)
-
+    # The DMA starts now and is waited only after score staging, hiding
+    # its latency under the one-hot + matmul work.
     @pl.when(band > 0)
-    def _top_read():
-        rd = pltpu.make_async_copy(
+    def _top_read_start():
+        pltpu.make_async_copy(
             tc_ref.at[i, pl.ds(t0 + W - 8, Lc + 8), :], tcw_ref, sems.at[0]
-        )
-        rd.start()
-        rd.wait()
+        ).start()
 
     @pl.when(jnp.logical_and(band == 0, chunk == 0))
     def _init_out():
@@ -187,6 +198,16 @@ def _wave_kernel(
             preferred_element_type=jnp.int32,
         )  # (G*W, Bt)
         sp_ref[pl.ds(tlb + 24, G), :, :] = sm.astype(jnp.int8).reshape(G, W, Bt)
+
+    @pl.when(band == 0)
+    def _top_zero():
+        tcw_ref[:] = jnp.zeros_like(tcw_ref)
+
+    @pl.when(band > 0)
+    def _top_read_wait():
+        pltpu.make_async_copy(
+            tc_ref.at[i, pl.ds(t0 + W - 8, Lc + 8), :], tcw_ref, sems.at[0]
+        ).wait()
 
     # ---- complete the skew: 8-multiple shifts per 8-row group of r,
     # sk[tloc, r] = sp[24 + tloc - 8*(r//8), r] (all slices 8-aligned).
@@ -232,7 +253,20 @@ def _wave_kernel(
     # ---- bottom-row write: columns [t0-W, t0+Lc-W) at rows [t0, t0+Lc).
     wr = pltpu.make_async_copy(brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1])
     wr.start()
-    wr.wait()
+    if not defer_wr:
+        wr.wait()
+    else:
+        # a DMA may not outlive the kernel: the grid's final program waits
+        last = jnp.logical_and(
+            i == pl.num_programs(0) - 1,
+            jnp.logical_and(band == pl.num_programs(1) - 1, chunk == n_chunks - 1),
+        )
+
+        @pl.when(last)
+        def _wait_final_brow():
+            pltpu.make_async_copy(
+                brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
+            ).wait()
 
     # The final W columns [L2-W, L2) lag one chunk behind and are produced
     # by no one, but the next band's last read window covers them — they
