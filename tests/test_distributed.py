@@ -118,3 +118,30 @@ def test_multi_process_distributed_search(tmp_path, nproc, n_seqs):
     res = eng.search(parse_query(q_path), parse_database(db_path))
     want = [[int(i), int(s)] for i, s in res.top_k(5)]
     assert results[0]["hits"] == want
+
+
+def test_launch_entry_single_process(tmp_path):
+    """python -m swtpu.parallel.launch works as the documented multi-host
+    entry point (single process here; N-process covered above)."""
+    import json as _json
+    import os
+
+    from swtpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(3)
+    seqs = ["".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, 40)) for _ in range(12)]
+    db_path = tmp_path / "db.fasta"
+    write_fasta(db_path, seqs)
+    q_path = tmp_path / "q.fasta"
+    write_fasta(q_path, [seqs[2][:30]], headers=["q"])
+
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    out = subprocess.run(
+        [sys.executable, "-m", "swtpu.parallel.launch", "--query", str(q_path), "--db", str(db_path),
+         "--top-k", "3", "--json", "--num-processes", "1", "--process-id", "0", "--platform", "cpu"],
+        capture_output=True, text=True, env=env, cwd=str(REPO), timeout=280,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    d = _json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][0])
+    assert d["n_local"] == 12 and len(d["hits"]) == 3
