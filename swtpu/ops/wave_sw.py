@@ -1,25 +1,26 @@
 """Wavefront Smith-Waterman Pallas kernel — the engine's flagship TPU path.
 
-Lanes = subjects; a band of W=32 query rows advances as an anti-diagonal
-wavefront over the subject (time) axis, so the only per-step dependencies
-are sublane shifts of the two previous wave fronts — the within-row cummax
-of the row-parallel kernels (swtpu.ops.xla_sw, ~40 VPU ops/cell of
-Kogge-Stone) disappears entirely (~12 VPU ops/cell, exact int32, no
-saturation/rescore).  Measured ~95-100 GCUPS padded on one v5e chip at
-(4096 x 512 x 512) vs ~50 for the XLA int16 fast path (tools/pallas_wave.py).
+Lanes = subjects; a band of w (32 or 64) query rows advances as an
+anti-diagonal wavefront over the subject (time) axis, so the only per-step
+dependencies are sublane shifts of the two previous wave fronts — the
+within-row cummax of the row-parallel kernels (swtpu.ops.xla_sw, ~40 VPU
+ops/cell of Kogge-Stone) disappears entirely (~12 VPU ops/cell, exact
+int32, no saturation/rescore).  Measured ~106-134 GCUPS padded on one v5e
+chip vs ~50 for the XLA int16 fast path (tools/wave_bench.py).
 
 Key TPU mechanics (see tools/pallas_wave.py for the derivation):
 
 * **Skewed score staging on the MXU.**  Each band needs scores in wavefront
-  step order sk[t, r] = S(q[band*W+r], subj[t-r]).  A banded block-matrix
-  lhs applies the mod-8 part of the skew inside one int8 matmul per 8-step
-  group (lhs[(tl*W+r), (d*32+a)] = prof[r, a] * (d == tl + 7 - r%8), so
-  K = 512 instead of (8+W-1)*32 = 1280), and four aligned scratch-to-scratch
+  step order sk[t, r] = S(q[band*w+r], subj[t-r]).  A banded block-matrix
+  lhs applies the mod-8 part of the skew inside one int8 matmul per G-step
+  group (lhs[(tl*w+r), (d*32+a)] = prof[r, a] * (d == tl + 7 - r%8), so
+  K = 384 instead of (G+w-1)*32), and w/8 aligned scratch-to-scratch
   DMAs complete the 8-multiple shifts (Mosaic DMAs require 8-aligned slices
   on tiled dims, which is also why a direct strided skew is inexpressible).
 * **Band carry through HBM.**  The band's bottom H row streams out through
-  a manual-DMA HBM buffer (8/W bytes per cell) and becomes the next band's
-  top boundary; a one-step stash delay keeps every DMA window 8-aligned.
+  a manual-DMA HBM buffer (8/w bytes per cell) and becomes the next band's
+  top boundary; a one-step stash delay keeps every DMA window 8-aligned,
+  and the write's completion wait defers into the next grid program.
 * **Boundary-free ramps.**  Lead-in/lead-out diagonal ramps need no masks:
   pad columns score PAD_SCORE (< -2*gap), which pins the ramp rows to
   H = 0 exactly by induction.
@@ -43,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .xla_sw import PAD_SUBJECT
 
 A32 = 32  # padded alphabet (profile column count)
-W = 32  # band height (query rows per wavefront)
+W = 32  # default band height (query rows per wavefront)
 G = 4  # wavefront steps per staging matmul group
 # Banded-lhs contraction size: (G+7)*32 rounded to the lane tile.  G=4
 # measures ~8% faster than G=8 (fewer wasted MACs per cell: K=384 vs 512);
@@ -51,14 +52,14 @@ G = 4  # wavefront steps per staging matmul group
 KPAD = -(-((G + 7) * A32) // 128) * 128  # 384
 
 
-def pick_lc(width: int) -> int:
+def pick_lc(width: int, w: int = W) -> int:
     """Column-chunk size for a bucket of (true) width `width`.
 
-    Bigger chunks amortise the staging lookback ((Lc+24)/Lc matmul work)
+    Bigger chunks amortise the staging lookback ((Lc+w-8)/Lc matmul work)
     and per-chunk fixed costs; smaller chunks keep narrow buckets from
-    padding up.  Buckets from wave_width_edges satisfy (width + W) % 64 == 0.
+    padding up.  Buckets from wave_width_edges satisfy (width + w) % 64 == 0.
     """
-    need = width + W
+    need = width + w
     for lc in (256, 224, 192, 160, 128, 96, 64):
         if need % lc == 0:
             return lc
@@ -73,63 +74,66 @@ def pick_bt(n_rows: int) -> int:
     return 128
 
 
-def pick_bt_div(n_rows: int) -> int:
+def pick_bt_div(n_rows: int, w: int = W) -> int:
     """Largest lane-tile that exactly divides an already-padded lane count
     (callers that pad with pick_bt may later split across mesh shards,
-    leaving a multiple of 128 that 512 need not divide)."""
+    leaving a multiple of 128 that 512 need not divide).  w=64 halves the
+    cap (VMEM: the band buffers double with w)."""
+    cap = 512 if w <= 32 else 256
     for bt in (512, 256, 128):
-        if n_rows % bt == 0:
+        if bt <= cap and n_rows % bt == 0:
             return bt
     raise ValueError(f"lane count {n_rows} is not a multiple of 128")
 
 
-def build_lhs_banded(profile: np.ndarray) -> np.ndarray:
-    """Per-band banded skew-staging lhs: (n_bands, G*W, KPAD) int8.
+def build_lhs_banded(profile: np.ndarray, w: int = W) -> np.ndarray:
+    """Per-band banded skew-staging lhs: (n_bands, G*w, KPAD) int8.
 
-    lhs[band, tl*W + r, d*32 + a] = profile[band*W + r, a] where
+    lhs[band, tl*w + r, d*32 + a] = profile[band*w + r, a] where
     d = tl + 7 - r%8 — the mod-8 part of the wavefront skew, baked into the
     staging matmul.  Built once per query (NumPy, ~ms).
     """
     qpad, A = profile.shape
-    assert A == A32 and qpad % W == 0
-    n_bands = qpad // W
-    lhs = np.zeros((n_bands, G * W, KPAD), dtype=np.int8)
-    p = profile.reshape(n_bands, W, A32)
+    assert A == A32 and qpad % w == 0 and w % 8 == 0
+    n_bands = qpad // w
+    lhs = np.zeros((n_bands, G * w, KPAD), dtype=np.int8)
+    p = profile.reshape(n_bands, w, A32)
     for tl in range(G):
-        for r in range(W):
+        for r in range(w):
             d = tl + 7 - (r % 8)
-            lhs[:, tl * W + r, d * A32 : (d + 1) * A32] = p[:, r, :]
+            lhs[:, tl * w + r, d * A32 : (d + 1) * A32] = p[:, r, :]
     return lhs
 
 
-def transpose_pad(subjects: np.ndarray, width: int) -> np.ndarray:
-    """(B, L<=width) bucket -> (width + W, B) transposed wave layout."""
+def transpose_pad(subjects: np.ndarray, width: int, w: int = W) -> np.ndarray:
+    """(B, L<=width) bucket -> (width + w, B) transposed wave layout."""
     B, L = subjects.shape
-    L2 = width + W
-    assert L2 % 64 == 0, "bucket width must satisfy (width + 32) % 64 == 0"
+    L2 = width + w
+    assert L2 % 64 == 0, "bucket width must satisfy (width + w) % 64 == 0"
     out = np.full((L2, B), PAD_SUBJECT, dtype=np.int8)
     out[:L, :] = subjects.T
     return out
 
 
 def _wave_kernel(
-    lhs_ref,  # (1, G*W, KPAD) int8 — this band's banded profile
+    lhs_ref,  # (1, G*w, KPAD) int8 — this band's banded profile
     subj_ref,  # (Lc, Bt) int8 — this chunk's transposed subjects
-    out_ref,  # (1, W, Bt) int32 — per-tile best accumulator
+    out_ref,  # (1, w, Bt) int32 — per-tile best accumulator
     tc_ref,  # HBM (n_tiles, LT, Bt) int32 — band bottom-row carry
-    oh_ref,  # ((Lc+W+1)*32, Bt) int8 scratch — one-hot incl. W-col lookback
-    sp_ref,  # (Lc+24, W, Bt) int8 scratch — mod-8-skewed staged scores
-    sk_ref,  # (Lc, W, Bt) int8 scratch — fully skewed (step-ordered) scores
+    oh_ref,  # ((Lc+w+1)*32, Bt) int8 scratch — one-hot incl. w-col lookback
+    sp_ref,  # (Lc+w-8, w, Bt) int8 scratch — mod-8-skewed staged scores
+    sk_ref,  # (Lc, w, Bt) int8 scratch — fully skewed (step-ordered) scores
     tcw_ref,  # (Lc+8, Bt) int32 scratch — top-carry window, cols [t0-8, t0+Lc)
-    brow_ref,  # (Lc, Bt) int32 scratch — bottom rows, cols [t0-W, t0+Lc-W)
+    brow_ref,  # (Lc, Bt) int32 scratch — bottom rows, cols [t0-w, t0+Lc-w)
     lastb_ref,  # (1, Bt) int32 scratch — previous step's bottom value
-    zero_ref,  # (W, Bt) int32 scratch — zero block for the carry tail
-    tail_ref,  # (W, Bt) int8 scratch — previous chunk's last W subject cols
-    d_ref,  # (2, W, Bt) int32 scratch — D1/D2 carry across chunks
+    zero_ref,  # (w, Bt) int32 scratch — zero block for the carry tail
+    tail_ref,  # (w, Bt) int8 scratch — previous chunk's last w subject cols
+    d_ref,  # (2, w, Bt) int32 scratch — D1/D2 carry across chunks
     sems,  # DMA semaphores (4,)
     *,
     gap: int,
     Lc: int,
+    w: int,
 ):
     i = pl.program_id(0)
     band = pl.program_id(1)
@@ -137,9 +141,10 @@ def _wave_kernel(
     n_chunks = pl.num_programs(2)
     Bt = subj_ref.shape[1]
     t0 = chunk * Lc
+    LOOKB = w - 8  # sp lookback rows: the mod-8 skew leaves 8-multiple shifts
     # With >1 chunk per band, the bottom-row write DMA's target rows
     # [t0, t0+Lc) are disjoint from the NEXT program's read window
-    # [t0'+W-8, t0'+Lc+W), so its completion wait defers to the next
+    # [t0'+w-8, t0'+Lc+w), so its completion wait defers to the next
     # program (hiding the write under the grid transition).
     defer_wr = n_chunks > 1
 
@@ -153,15 +158,15 @@ def _wave_kernel(
                 brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
             ).wait()
 
-    # ---- top-carry read: HBM row = column + W; window covers columns
-    # [t0-8, t0+Lc) at rows [t0+W-8, t0+Lc+W).  All offsets/sizes 8-aligned
+    # ---- top-carry read: HBM row = column + w; window covers columns
+    # [t0-8, t0+Lc) at rows [t0+w-8, t0+Lc+w).  All offsets/sizes 8-aligned
     # (a Mosaic DMA requirement on tiled dims).  Band 0's top is zeros.
     # The DMA starts now and is waited only after score staging, hiding
     # its latency under the one-hot + matmul work.
     @pl.when(band > 0)
     def _top_read_start():
         pltpu.make_async_copy(
-            tc_ref.at[i, pl.ds(t0 + W - 8, Lc + 8), :], tcw_ref, sems.at[0]
+            tc_ref.at[i, pl.ds(t0 + w - 8, Lc + 8), :], tcw_ref, sems.at[0]
         ).start()
 
     @pl.when(jnp.logical_and(band == 0, chunk == 0))
@@ -173,31 +178,31 @@ def _wave_kernel(
         d_ref[:] = jnp.zeros_like(d_ref)
         lastb_ref[:] = jnp.zeros_like(lastb_ref)
 
-    # ---- one-hot over columns [t0-W, t0+Lc): lookback tail + this chunk
+    # ---- one-hot over columns [t0-w, t0+Lc): lookback tail + this chunk
     # (int32 iota: Mosaic supports only 16/32-bit iota)
-    aid_t = jax.lax.broadcasted_iota(jnp.int32, (W, A32, Bt), 1)
-    tail = jnp.where(chunk == 0, jnp.full((W, Bt), PAD_SUBJECT, jnp.int8), tail_ref[:])
+    aid_t = jax.lax.broadcasted_iota(jnp.int32, (w, A32, Bt), 1)
+    tail = jnp.where(chunk == 0, jnp.full((w, Bt), PAD_SUBJECT, jnp.int8), tail_ref[:])
     oh_t = (tail.astype(jnp.int32)[:, None, :] == aid_t).astype(jnp.int8)
-    oh_ref[0 : W * A32, :] = oh_t.reshape(W * A32, Bt)
+    oh_ref[0 : w * A32, :] = oh_t.reshape(w * A32, Bt)
     aid_c = jax.lax.broadcasted_iota(jnp.int32, (Lc, A32, Bt), 1)
     oh_c = (subj_ref[:].astype(jnp.int32)[:, None, :] == aid_c).astype(jnp.int8)
-    oh_ref[W * A32 : (Lc + W) * A32, :] = oh_c.reshape(Lc * A32, Bt)
-    tail_ref[:] = subj_ref[pl.ds(Lc - W, W), :]
+    oh_ref[w * A32 : (Lc + w) * A32, :] = oh_c.reshape(Lc * A32, Bt)
+    tail_ref[:] = subj_ref[pl.ds(Lc - w, w), :]
 
     # ---- staging matmuls with the mod-8 skew baked into the banded lhs:
-    # the group at base tlb covers sp rows [24+tlb, 24+tlb+8) = scores
-    # (r, t0 + tlb + tl - r%8); its rhs rows start at column-local tlb+25.
-    # The lhs K-tail is zero, masking the scratch pad row-block.
+    # the group at base tlb covers sp rows [LOOKB+tlb, LOOKB+tlb+G) = scores
+    # (r, t0 + tlb + tl - r%8); its rhs rows start at column-local
+    # tlb + LOOKB + 1.  The lhs K-tail is zero, masking any pad rows.
     lhs = lhs_ref[0]
-    for g0 in range((Lc + 24) // G):
-        tlb = g0 * G - 24
+    for g0 in range((Lc + LOOKB) // G):
+        tlb = g0 * G - LOOKB
         sm = jax.lax.dot_general(
             lhs,
-            oh_ref[pl.ds((tlb + 25) * A32, KPAD), :],
+            oh_ref[pl.ds((tlb + LOOKB + 1) * A32, KPAD), :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (G*W, Bt)
-        sp_ref[pl.ds(tlb + 24, G), :, :] = sm.astype(jnp.int8).reshape(G, W, Bt)
+        )  # (G*w, Bt)
+        sp_ref[pl.ds(tlb + LOOKB, G), :, :] = sm.astype(jnp.int8).reshape(G, w, Bt)
 
     @pl.when(band == 0)
     def _top_zero():
@@ -206,20 +211,20 @@ def _wave_kernel(
     @pl.when(band > 0)
     def _top_read_wait():
         pltpu.make_async_copy(
-            tc_ref.at[i, pl.ds(t0 + W - 8, Lc + 8), :], tcw_ref, sems.at[0]
+            tc_ref.at[i, pl.ds(t0 + w - 8, Lc + 8), :], tcw_ref, sems.at[0]
         ).wait()
 
     # ---- complete the skew: 8-multiple shifts per 8-row group of r,
-    # sk[tloc, r] = sp[24 + tloc - 8*(r//8), r] (all slices 8-aligned).
-    for r8 in range(W // 8):
+    # sk[tloc, r] = sp[LOOKB + tloc - 8*(r//8), r] (all slices 8-aligned).
+    for r8 in range(w // 8):
         pltpu.make_async_copy(
-            sp_ref.at[pl.ds(24 - 8 * r8, Lc), pl.ds(8 * r8, 8), :],
+            sp_ref.at[pl.ds(LOOKB - 8 * r8, Lc), pl.ds(8 * r8, 8), :],
             sk_ref.at[pl.ds(0, Lc), pl.ds(8 * r8, 8), :],
             sems.at[2],
         ).start()
-    for r8 in range(W // 8):
+    for r8 in range(w // 8):
         pltpu.make_async_copy(
-            sp_ref.at[pl.ds(24 - 8 * r8, Lc), pl.ds(8 * r8, 8), :],
+            sp_ref.at[pl.ds(LOOKB - 8 * r8, Lc), pl.ds(8 * r8, 8), :],
             sk_ref.at[pl.ds(0, Lc), pl.ds(8 * r8, 8), :],
             sems.at[2],
         ).wait()
@@ -229,18 +234,18 @@ def _wave_kernel(
     # shifted], left = H(r, j-1) [wave t-1].
     def step(tloc, carry):
         d1, d2, best, top_tm1 = carry
-        s = sk_ref[tloc].astype(jnp.int32)  # (W, Bt)
+        s = sk_ref[tloc].astype(jnp.int32)  # (w, Bt)
         top_t = tcw_ref[pl.ds(tloc + 8, 1), :]  # H_top[t] (1, Bt)
-        d2s = jnp.concatenate([top_tm1, d2[: W - 1, :]], axis=0)
-        d1s = jnp.concatenate([top_t, d1[: W - 1, :]], axis=0)
+        d2s = jnp.concatenate([top_tm1, d2[: w - 1, :]], axis=0)
+        d1s = jnp.concatenate([top_t, d1[: w - 1, :]], axis=0)
         h = jnp.maximum(d2s + s, jnp.maximum(d1s, d1) - gap)
         h = jnp.maximum(h, 0)
         best = jnp.maximum(best, h)
         # Stash the PREVIOUS step's bottom value: brow[tloc] holds the
-        # bottom H of column t0 + tloc - W, keeping the write window
+        # bottom H of column t0 + tloc - w, keeping the write window
         # 8-aligned ([t0, t0+Lc) in HBM rows).
         brow_ref[pl.ds(tloc, 1), :] = lastb_ref[:]
-        lastb_ref[:] = h[W - 1 : W, :]
+        lastb_ref[:] = h[w - 1 : w, :]
         return h, d1, best, top_t
 
     best0 = out_ref[0]
@@ -250,7 +255,7 @@ def _wave_kernel(
     d_ref[1] = d1
     out_ref[0] = best
 
-    # ---- bottom-row write: columns [t0-W, t0+Lc-W) at rows [t0, t0+Lc).
+    # ---- bottom-row write: columns [t0-w, t0+Lc-w) at rows [t0, t0+Lc).
     wr = pltpu.make_async_copy(brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1])
     wr.start()
     if not defer_wr:
@@ -268,70 +273,75 @@ def _wave_kernel(
                 brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
             ).wait()
 
-    # The final W columns [L2-W, L2) lag one chunk behind and are produced
+    # The final w columns [L2-w, L2) lag one chunk behind and are produced
     # by no one, but the next band's last read window covers them — they
     # are pad columns, so zero them once per band.
     @pl.when(chunk == n_chunks - 1)
     def _zero_tail():
         zero_ref[:] = jnp.zeros_like(zero_ref)
         zw = pltpu.make_async_copy(
-            zero_ref, tc_ref.at[i, pl.ds((chunk + 1) * Lc, W), :], sems.at[3]
+            zero_ref, tc_ref.at[i, pl.ds((chunk + 1) * Lc, w), :], sems.at[3]
         )
         zw.start()
         zw.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("gap", "Lc", "Bt", "interpret"))
-def sw_wave(lhsB, subjT, *, gap: int, Lc: int = 128, Bt: int = 512, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("gap", "Lc", "Bt", "w", "interpret"))
+def sw_wave(
+    lhsB, subjT, *, gap: int, Lc: int = 128, Bt: int = 512, w: int = W, interpret: bool = False
+):
     """Max SW score of one query vs a transposed bucket (exact int32).
 
     Args:
-      lhsB: (n_bands, G*W, KPAD) int8 banded profile (build_lhs_banded).
+      lhsB: (n_bands, G*w, KPAD) int8 banded profile (build_lhs_banded).
       subjT: (L2, B) int8 transposed subjects (transpose_pad), L2 % Lc == 0,
-        with >= W-1 trailing pad columns; B % Bt == 0.
+        with >= w-1 trailing pad columns; B % Bt == 0.
       gap: linear gap penalty.
       Lc: column-chunk size (pick_lc).
-      Bt: subjects per program (pick_bt).
+      Bt: subjects per program (pick_bt / pick_bt_div).
+      w: band height — 32 (default) or 64; w=64 halves per-program fixed
+        costs / one-hot builds / carry traffic per cell for wide buckets,
+        at double the band VMEM and query-row padding.
 
     Returns:
       (B,) int32 exact max scores (bit-identical to swtpu.ops.oracle).
     """
     n_bands = lhsB.shape[0]
     L2, B = subjT.shape
-    assert L2 % Lc == 0 and B % Bt == 0 and Lc % G == 0
+    assert L2 % Lc == 0 and B % Bt == 0 and Lc % G == 0 and w % 8 == 0
     n_tiles = B // Bt
     n_chunks = L2 // Lc
-    LT = L2 + W
-    kern = functools.partial(_wave_kernel, gap=gap, Lc=Lc)
+    LT = L2 + w
+    kern = functools.partial(_wave_kernel, gap=gap, Lc=Lc, w=w)
     best, _ = pl.pallas_call(
         kern,
         grid=(n_tiles, n_bands, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, G * W, KPAD), lambda i, b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * w, KPAD), lambda i, b, c: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Lc, Bt), lambda i, b, c: (c, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, W, Bt), lambda i, b, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, Bt), lambda i, b, c: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, W, Bt), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, w, Bt), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, LT, Bt), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM(((Lc + W + 1) * A32, Bt), jnp.int8),
-            pltpu.VMEM((Lc + 24, W, Bt), jnp.int8),
-            pltpu.VMEM((Lc, W, Bt), jnp.int8),
+            pltpu.VMEM(((Lc + w + 1) * A32, Bt), jnp.int8),
+            pltpu.VMEM((Lc + w - 8, w, Bt), jnp.int8),
+            pltpu.VMEM((Lc, w, Bt), jnp.int8),
             pltpu.VMEM((Lc + 8, Bt), jnp.int32),
             pltpu.VMEM((Lc, Bt), jnp.int32),
             pltpu.VMEM((1, Bt), jnp.int32),
-            pltpu.VMEM((W, Bt), jnp.int32),
-            pltpu.VMEM((W, Bt), jnp.int8),
-            pltpu.VMEM((2, W, Bt), jnp.int32),
+            pltpu.VMEM((w, Bt), jnp.int32),
+            pltpu.VMEM((w, Bt), jnp.int8),
+            pltpu.VMEM((2, w, Bt), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * (L2 + 24 * n_chunks) * n_bands * W * KPAD // G,
+            flops=2 * B * (L2 + (w - 8) * n_chunks) * n_bands * KPAD,
             bytes_accessed=B * L2 + B * LT * 8 * n_bands,
             transcendentals=0,
         ),
@@ -345,23 +355,26 @@ def sw_score_bucket_wave(
     subjects: np.ndarray,
     *,
     gap: int,
+    w: int = W,
     interpret: bool = False,
 ):
     """Convenience wrapper: score a (B, L) bucket via the wavefront kernel.
 
-    Accepts a (qpad, 32) int8 profile (qpad % W == 0) or a prebuilt lhsB.
+    Accepts a (qpad, 32) int8 profile (qpad % w == 0) or a prebuilt lhsB.
     Handles transposition/padding; used by tests and small callers — the
     engine packs transposed buckets directly (swtpu.utils.bucketing).
     """
     arr = np.asarray(profile_or_lhs)
-    lhsB = build_lhs_banded(arr) if arr.ndim == 2 else arr
+    lhsB = build_lhs_banded(arr, w) if arr.ndim == 2 else arr
     B, L = subjects.shape
-    width = -(-(L + 32) // 64) * 64 - 32  # smallest width >= L with (w+32) % 64 == 0
-    Lc = pick_lc(width)
+    width = -(-(L + w) // 64) * 64 - w  # smallest width >= L with (w+width) % 64 == 0
+    Lc = pick_lc(width, w)
     Bt = pick_bt(B)
     pad_b = (-B) % Bt
     if pad_b:
         subjects = np.pad(subjects, ((0, pad_b), (0, 0)), constant_values=PAD_SUBJECT)
-    subjT = transpose_pad(np.asarray(subjects, dtype=np.int8), width)
-    out = sw_wave(jnp.asarray(lhsB), jnp.asarray(subjT), gap=gap, Lc=Lc, Bt=Bt, interpret=interpret)
+    subjT = transpose_pad(np.asarray(subjects, dtype=np.int8), width, w)
+    out = sw_wave(
+        jnp.asarray(lhsB), jnp.asarray(subjT), gap=gap, Lc=Lc, Bt=Bt, w=w, interpret=interpret
+    )
     return out[:B]
