@@ -64,3 +64,24 @@ def test_cli_matrix_and_gap_flags(tiny_db, capsys):
 def test_cli_missing_file_errors(tmp_path):
     with pytest.raises(FileNotFoundError):
         main(["--query", str(tmp_path / "nope.fasta"), "--db", str(tmp_path / "also_nope.fasta")])
+
+
+def test_cli_mesh_and_wave_flags(tmp_path, capsys):
+    """--mesh N and --wave/--no-wave plumb through to the engine config."""
+    import numpy as np
+
+    from swtpu.cli import main
+    from swtpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(2)
+    seqs = ["".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, 50)) for _ in range(16)]
+    db = tmp_path / "db.fasta"
+    write_fasta(db, seqs)
+    qf = tmp_path / "q.fasta"
+    write_fasta(qf, [seqs[3][:25]], headers=["q"])
+
+    rc = main(["--query", str(qf), "--db", str(db), "--mesh", "2", "--no-wave", "--top-k", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    hits = [l for l in out.splitlines() if ":" in l and l.split(":")[0].isdigit()]
+    assert len(hits) == 3

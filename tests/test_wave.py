@@ -149,3 +149,30 @@ def test_engine_wave_mesh_matches_single():
     single = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
     meshed = SearchEngine(SWConfig(use_wave=True, interpret=True, mesh_shape=(2,))).search(q, db)
     np.testing.assert_array_equal(meshed.scores, single.scores)
+
+
+def test_engine_wave_mesh_device_topk():
+    """cfg.top_k + mesh: the shard_map wavefront step feeds lax.top_k with
+    a lane-sharded flat array (XLA inserts the collective)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from swtpu.alphabet import encode_str
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Query, database_from_sequences
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(77)
+    alphabet = "ARNDCQEGHILKMFPSTWYV"
+    seqs = ["".join(rng.choice(list(alphabet), size=int(n))) for n in rng.integers(5, 90, 20)]
+    db = database_from_sequences(seqs)
+    qs = "".join(rng.choice(list(alphabet), size=36))
+    q = Query(name="Q", residues=encode_str(qs), raw=qs)
+
+    full = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+    topk = SearchEngine(
+        SWConfig(use_wave=True, interpret=True, top_k=4, mesh_shape=(2,))
+    ).search(q, db)
+    assert topk.scores is None
+    assert topk.hits == full.top_k(4)
