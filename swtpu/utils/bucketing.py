@@ -354,8 +354,17 @@ def pack_database_wave(
             bt = wave_sw.pick_bt(max(1, ids.shape[0] // lane_multiple))
             quant = bt * lane_multiple
             bpad = -(-ids.shape[0] // quant) * quant
-            flat = pack_batch(db, Batch(ids=ids.astype(np.int32), rows=bpad, width=width))
-            stack = wave_sw.transpose_pad(flat, width)
+            l2 = width + wave_sw.W
+            stack = None
+            if db.residues.shape[0]:
+                from .. import native
+
+                stack = native.pack_bucket_T_native(
+                    db.residues, db.offsets, ids.astype(np.int32), l2, bpad, PAD_SUBJECT
+                )
+            if stack is None:  # NumPy fallback: row-major gather + transpose
+                flat = pack_batch(db, Batch(ids=ids.astype(np.int32), rows=bpad, width=width))
+                stack = wave_sw.transpose_pad(flat, width)
             full_ids = np.full(bpad, -1, dtype=np.int64)
             full_ids[: ids.shape[0]] = ids
             groups.append(

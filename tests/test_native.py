@@ -98,3 +98,28 @@ def test_native_pack_matches_numpy():
     finally:
         del os.environ["SWTPU_NO_NATIVE"]
     np.testing.assert_array_equal(got, want)
+
+
+def test_pack_bucket_T_matches_numpy():
+    """Native transposed wavefront-bucket packer == gather + transpose."""
+    import numpy as np
+
+    from swtpu import native
+    from swtpu.io.fasta import database_from_sequences
+    from swtpu.ops import wave_sw
+    from swtpu.ops.xla_sw import PAD_SUBJECT
+    from swtpu.utils.bucketing import Batch, pack_batch
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(8)
+    seqs = ["".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, int(n))) for n in rng.integers(1, 90, 37)]
+    db = database_from_sequences(seqs)
+    ids = np.arange(37, dtype=np.int32)
+    width, bpad = 96, 128
+    got = native.pack_bucket_T_native(db.residues, db.offsets, ids, width + 32, bpad, PAD_SUBJECT)
+    flat = pack_batch(db, Batch(ids=ids, rows=bpad, width=width))
+    want = wave_sw.transpose_pad(flat, width)
+    np.testing.assert_array_equal(got, want)
