@@ -78,6 +78,14 @@ class SWConfig:
     # --- results -----------------------------------------------------------
     top_k: Optional[int] = None  # None = full score array (reference parity)
 
+    # --- serving -----------------------------------------------------------
+    # Round query-row padding up a geometric ladder (32-step to 256, then
+    # ~1.25x) so a serving fleet compiles O(log) kernel variants instead of
+    # one per query length.  Costs <= ~12% padded query rows; scores are
+    # unchanged (pad profile rows are score-neutral).  Off by default: the
+    # benchmark protocol measures per-exact-length compiles.
+    query_ladder: bool = False
+
     # --- parallelism -------------------------------------------------------
     # Device mesh axis sizes: (data,) database sharding across chips.
     mesh_shape: Tuple[int, ...] = (1,)

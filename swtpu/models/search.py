@@ -107,6 +107,20 @@ class SearchEngine:
             1, config.n_devices
         )
 
+    def _query_pad(self, qlen: int, quantum: int) -> int:
+        """Row padding target for a query: exact quantum, or the serving
+        ladder (32-step to 256, then ~1.25x on the 32 grid) when
+        ``config.query_ladder`` is on."""
+        import math
+
+        qpad = -(-max(qlen, 1) // quantum) * quantum
+        if not self.config.query_ladder:
+            return qpad
+        step = quantum
+        while step < qpad:
+            step = step + 32 if step < 256 else -(-int(step * 1.25) // 32) * 32
+        return -(-step // quantum) * quantum
+
     def _resolve_wave(self) -> bool:
         """Decide whether the wavefront Pallas path is active.
 
@@ -689,13 +703,17 @@ class SearchEngine:
         t_start = time.perf_counter()
 
         with timer.phase("plan"):
-            profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
+            profile = xla_sw.make_profile(
+                query.residues, self.matrix, pad_rows_to=self._query_pad(query.length, cfg.query_strip)
+            )
             profile_dev = self._device_put(profile)
             lhsB_dev = None
             if packed.wave_groups:
                 from ..ops import wave_sw
 
-                prof_w = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=wave_sw.W)
+                prof_w = xla_sw.make_profile(
+                    query.residues, self.matrix, pad_rows_to=self._query_pad(query.length, wave_sw.W)
+                )
                 lhsB_dev = self._device_put(wave_sw.build_lhs_banded(prof_w))
 
         # Engine-level top-K: when the database is wave-packed (every score

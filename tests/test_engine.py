@@ -119,3 +119,29 @@ def test_search_file_end_to_end():
     )
     golden = [int(x) for x in (DATA / "golden_P02232_subset.txt").read_text().split()]
     assert res.scores.tolist() == golden
+
+
+def test_query_ladder_same_scores():
+    """query_ladder pads query rows up a geometric ladder (fewer compiled
+    shapes for serving) without changing any score."""
+    import numpy as np
+
+    from swtpu.config import SWConfig
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(19)
+    seqs = ["".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, int(n))) for n in rng.integers(10, 200, 30)]
+    from swtpu.io.fasta import database_from_sequences, Query
+    from swtpu.alphabet import encode_str
+
+    db = database_from_sequences(seqs)
+    qs = "".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, 150))
+    q = Query(name="q", residues=encode_str(qs), raw=qs)
+    a = SearchEngine(SWConfig()).search(q, db)
+    b = SearchEngine(SWConfig(query_ladder=True)).search(q, db)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    # below 256 the ladder is the plain 32-grid (8 values); above it the
+    # geometric steps kick in: 256 -> 320 -> 416 -> 544 -> 704 -> 896 -> 1120
+    eng = SearchEngine(SWConfig(query_ladder=True))
+    assert eng._query_pad(150, 32) == 160
+    assert eng._query_pad(1000, 32) == 1120
