@@ -714,7 +714,13 @@ class SearchEngine:
                 prof_w = xla_sw.make_profile(
                     query.residues, self.matrix, pad_rows_to=self._query_pad(query.length, wave_sw.W)
                 )
-                lhsB_dev = self._device_put(wave_sw.build_lhs_banded(prof_w))
+                lhsB = wave_sw.build_lhs_banded(prof_w)
+                if self._mesh is None:
+                    lhsB_dev = jnp.asarray(lhsB)
+                else:  # replicate: the shard_map wave step takes lhsB whole
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    lhsB_dev = jax.device_put(lhsB, NamedSharding(self._mesh, P()))
 
         # Engine-level top-K: when the database is wave-packed (every score
         # exact, no per-segment postprocessing), the top-K reduces on device
