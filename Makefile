@@ -11,9 +11,13 @@ all: native test
 test:
 	$(PY) -m pytest tests/ -q
 
-# Everything except the slow Pallas interpret-mode warmup
+# Everything except the slow Pallas interpret-mode warmup + scale goldens
 test-fast:
-	$(PY) -m pytest tests/ -q --ignore=tests/test_pallas.py
+	$(PY) -m pytest tests/ -q --ignore=tests/test_pallas.py -m "not slow"
+
+# 17-query Performance-suite sweep (reference protocol)
+sweep:
+	$(PY) bench.py --full
 
 # Headline benchmark on the default platform (one JSON line)
 bench:
