@@ -5,8 +5,9 @@ anti-diagonal wavefront over the subject (time) axis, so the only per-step
 dependencies are sublane shifts of the two previous wave fronts — the
 within-row cummax of the row-parallel kernels (swtpu.ops.xla_sw, ~40 VPU
 ops/cell of Kogge-Stone) disappears entirely (~12 VPU ops/cell, exact
-int32, no saturation/rescore).  Measured ~106-134 GCUPS padded on one v5e
-chip vs ~50 for the XLA int16 fast path (tools/wave_bench.py).
+int32, no saturation/rescore).  Measured ~129-171 GCUPS padded on one v5e
+chip vs ~50 for the XLA int16 fast path (tools/wave_bench.py); the
+SwissProt-scale engine headline is 120.6 GCUPS device (BENCHMARKS.md).
 
 Key TPU mechanics (see tools/pallas_wave.py for the derivation):
 
