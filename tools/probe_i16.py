@@ -45,7 +45,25 @@ def run(kern, name, dtype):
         print(f"{name} {dtype.__name__}: FAIL: {str(e)[:300]}")
 
 
+def k_add(a_ref, b_ref, o_ref):
+    o_ref[:] = a_ref[:] + b_ref[:]
+
+
+def k_sub(a_ref, b_ref, o_ref):
+    o_ref[:] = a_ref[:] - b_ref[:]
+
+
+def k_select(a_ref, b_ref, o_ref):
+    o_ref[:] = jnp.where(a_ref[:] < b_ref[:], b_ref[:], a_ref[:])
+
+
 if __name__ == "__main__":
+    # Round-2 state of the toolchain (2026-08): int16 add/concat compile,
+    # but max, sub, and compare/select all fail — not enough to even
+    # emulate max, so the Pallas kernels stay int32 (ROADMAP item 2).
     for dt in (jnp.int16, jnp.int32):
         run(k_max, "max", dt)
+        run(k_add, "add", dt)
+        run(k_sub, "sub", dt)
+        run(k_select, "select", dt)
         run(k_dp_row, "dp_row", dt)
