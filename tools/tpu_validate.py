@@ -1,0 +1,81 @@
+"""One-command TPU acceptance battery (real-hardware correctness).
+
+The pytest suite is CPU-hermetic (tests/conftest.py); this script runs the
+same trust chain against real Mosaic-compiled kernels on the attached TPU:
+
+  1. subset golden   — engine vs committed golden_P02232_subset (111 seqs)
+  2. scale golden    — engine vs the 10k oracle-verified golden
+  3. saturation case — 29k-magnitude scores (exact int32 at scale)
+  4. kernel fuzz     — random (B, L, Q, gap, matrix) wave vs XLA exact
+  5. path cross      — streaming fast16 engine == resident wavefront engine
+
+Usage: python tools/tpu_validate.py   (exits nonzero on any mismatch)
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def main() -> int:
+    from tools.make_goldens import synth_sat_case, synth_scale_db
+    from tools.tpu_fuzz import main as fuzz_main
+    from swtpu.alphabet import decode
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Query, database_from_sequences, parse_database, parse_query
+    from swtpu.models.search import SearchEngine
+
+    failures = 0
+
+    def check(name, ok):
+        nonlocal failures
+        print(f"{name}: {'OK' if ok else 'FAIL'}")
+        failures += 0 if ok else 1
+
+    # 1. subset golden
+    db = parse_database(ROOT / "tests/data/uniprot_subset.fasta")
+    q = parse_query(ROOT / "tests/data/queries/P02232.fasta")
+    golden = np.array([int(x) for x in (ROOT / "tests/data/golden_P02232_subset.txt").read_text().split()])
+    res = SearchEngine(SWConfig()).search(q, db)
+    check("subset golden (111 seqs)", bool((res.scores == golden).all()))
+
+    # 2. scale golden
+    seqs = synth_scale_db(10_000)
+    db10k = database_from_sequences([decode(s) for s in seqs])
+    golden10k = np.array(
+        [int(x) for x in (ROOT / "tests/data/golden_P02232_scale10k.txt").read_text().split()]
+    )
+    res = SearchEngine(SWConfig()).search(q, db10k)
+    check("scale golden (10k seqs, oracle-verified)", bool((res.scores == golden10k).all()))
+
+    # 3. saturation case (29k-magnitude exact scores)
+    query_res, sat_seqs = synth_sat_case()
+    sat_db = database_from_sequences([decode(s) for s in sat_seqs])
+    sat_q = Query(name="sat", residues=query_res, raw="")
+    sat_golden = np.array(
+        [int(x) for x in (ROOT / "tests/data/golden_sat_case.txt").read_text().split()]
+    )
+    res = SearchEngine(SWConfig()).search(sat_q, sat_db)
+    check("saturation golden (scores to 29333)", bool((res.scores == sat_golden).all()))
+
+    # 4. kernel fuzz
+    check("kernel fuzz (random shapes/gaps/matrices)", fuzz_main(10, seed=7) == 0)
+
+    # 5. streaming fast16 vs resident wavefront
+    rng = np.random.default_rng(9)
+    q2 = Query(name="q", residues=rng.integers(0, 25, 200).astype(np.int8), raw="")
+    a = SearchEngine(SWConfig()).search(q2, db10k)
+    b = SearchEngine(SWConfig(device_resident=False)).search(q2, db10k)
+    check("streaming fast16 == resident wavefront", bool((a.scores == b.scores).all()))
+
+    print("tpu_validate:", "ALL OK" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
