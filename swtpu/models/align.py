@@ -126,10 +126,21 @@ class _BlockedH:
         self._blk = None
 
     def _ensure(self, i: int) -> None:
-        """Materialise the block containing row i (and row i-1 when i>0)."""
-        lo = max(0, ((i - 1) // self.R) * self.R) if i > 0 else 0
-        if self._blk is not None and self._blk_lo == lo:
+        """Materialise the block containing row i (and row i-1 when i>0).
+
+        Containment (not block-base equality) check: at a block boundary
+        the walk alternates hval(i, ...) / hval(i-1, ...) reads, and a
+        base-equality check would ping-pong between adjacent blocks,
+        recomputing an R-row DP block per access during gap runs.
+        """
+        if (
+            self._blk is not None
+            and self._blk_lo <= i
+            and i - self._blk_lo <= self._blk.shape[0] - 1
+        ):
             return
+        # Recompute base: include row i-1 too — the walk reads it next.
+        lo = max(0, ((i - 1) // self.R) * self.R) if i > 0 else 0
         hi = min(lo + self.R, len(self.q))
         self._blk = sw_matrix_h_from(
             self.q, self.s, self.matrix, self.gap, self.checkpoints[lo], lo, hi

@@ -55,9 +55,16 @@ class SearchResult:
     def top_k(self, k: int) -> List[Tuple[int, int]]:
         """Top-k (id, score), score-descending, id-ascending tie-break."""
         if self.scores is None:
-            if self.hits is None or k > len(self.hits):
+            if self.hits is None:
+                raise ValueError(f"top_k({k}) unavailable: no scores and no hits")
+            if k > len(self.hits):
+                # The shortfall is fine when the database itself has fewer
+                # than k sequences (hits then covers every sequence); only a
+                # smaller engine-configured top_k is a real error.
+                if len(self.hits) >= self.metrics.n_subjects:
+                    return list(self.hits)
                 raise ValueError(
-                    f"top_k({k}) unavailable: engine ran with top_k={len(self.hits or [])} "
+                    f"top_k({k}) unavailable: engine ran with top_k={len(self.hits)} "
                     "and no full score array"
                 )
             return self.hits[:k]
@@ -530,8 +537,15 @@ class SearchEngine:
         cand_ids = ids_flat[pos]
         keep = cand_ids >= 0  # drop pad lanes (score 0)
         vals, cand_ids = vals[keep], cand_ids[keep]
-        if vals.shape[0] > k and kk < total and vals[k - 1] == vals[-1]:
-            return None  # k-th score ties run off the candidate set
+        if kk < total:
+            # Pad lanes also score 0 and win the device tie-break by flat
+            # position, so a candidate set that ran short after dropping
+            # them — or whose k-th kept score is 0 — may have displaced
+            # real score-0 sequences; fall back to the full array.
+            if vals.shape[0] < k or vals[k - 1] == 0:
+                return None
+            if vals.shape[0] > k and vals[k - 1] == vals[-1]:
+                return None  # k-th score ties run off the candidate set
         order = np.lexsort((cand_ids, -vals))[:k]
         return [(int(cand_ids[i]), int(vals[i])) for i in order]
 
@@ -811,13 +825,24 @@ class SearchEngine:
         pending: List[Tuple[jax.Array, Optional[int]]] = []
         t_device = time.perf_counter()
         pack_time = 0.0
-        for batch, packed in iter_packed(db, plan):
-            t0 = time.perf_counter()
-            subj_dev = jnp.asarray(packed)
-            pack_time += time.perf_counter() - t0
-            pending.append(self._kernel(profile_dev, subj_dev))
-        with timer.phase("device_sync"):
-            per_batch = [np.asarray(p) for p, _ in pending]
+        try:
+            for batch, packed in iter_packed(db, plan):
+                t0 = time.perf_counter()
+                subj_dev = jnp.asarray(packed)
+                pack_time += time.perf_counter() - t0
+                pending.append(self._kernel(profile_dev, subj_dev))
+            with timer.phase("device_sync"):
+                per_batch = [np.asarray(p) for p, _ in pending]
+        except Exception as e:  # surface XLA OOM aborts actionably — this
+            # loop is exactly where an OOM-pressured fallback lands (the
+            # distributed per-shard retry re-enters it non-resident).
+            from ..utils.memory import reraise_oom
+
+            reraise_oom(
+                e,
+                f"streaming {len(plan.batches)} batches ({plan.total_cells} cells) "
+                f"to the device (query length {query.length})",
+            )
         device_seconds = time.perf_counter() - t_device - pack_time
         timer.phases["pack_and_put"] = pack_time
 

@@ -80,7 +80,11 @@ class DistributedSearchEngine:
         self.process_count = jax.process_count()
         from ..models.search import SearchEngine
 
-        self._local = SearchEngine(config)
+        # The local engine must always produce the full score array
+        # (DistributedResult.local_scores is part of the contract, and the
+        # candidate merge below slices result.top_k); a user-set top_k would
+        # route the wave path to device top-K with scores=None, so strip it.
+        self._local = SearchEngine(config.replace(top_k=None))
 
     def shard_of(self, db: Database) -> Tuple[Database, int]:
         """This process's contiguous shard of a globally-parsed database."""
@@ -115,7 +119,7 @@ class DistributedSearchEngine:
         except Exception:
             from ..models.search import SearchEngine
 
-            fallback = SearchEngine(self.config.replace(device_resident=False))
+            fallback = SearchEngine(self.config.replace(device_resident=False, top_k=None))
             result = fallback.search(query, local_db)
         local_scores = result.scores
         k = min(top_k, max(local_scores.shape[0], 1))

@@ -52,6 +52,7 @@ def make_sharded_step(
     use_pallas: bool = False,
     interpret: bool = False,
     stage_int8: bool = False,
+    fast16: bool = False,
 ) -> Callable:
     """Build a jitted sharded scoring step (explicit shard_map collectives).
 
@@ -60,11 +61,13 @@ def make_sharded_step(
     Returns (scores (B,) row-sharded, top_ids (K,), top_scores (K,)) —
     the top-K merged across shards with collectives.
 
-    Kernel family matches the single-chip engine's hot path: the int16
-    u-space fast16 kernel when the bucket width leaves a usable saturation
-    ceiling (scores are exact below it), exact int32 otherwise.  Callers
-    needing guaranteed exactness at extreme scores rescore rows >= the
-    ceiling (xla_sw.fast16_sat) like SearchEngine does.
+    Scores are exact int32 by default.  ``fast16=True`` opts into the int16
+    u-space saturating kernel (~2x on v5e): scores below the saturation
+    ceiling ``xla_sw.fast16_sat(gap, L)`` are exact, rows at/above it are
+    clamped lower bounds — callers needing exactness there must rescore
+    those rows like SearchEngine does (the full engine's mesh path,
+    ``SearchEngine(mesh_shape=(n,))``, always does; prefer it over this
+    explicit building block for production use).
     """
     n = int(np.prod(mesh.devices.shape))
 
@@ -74,7 +77,7 @@ def make_sharded_step(
 
             return pallas_sw.sw_score_bucket(prof, subj, gap=gap, strip=strip, interpret=interpret)
         sat = xla_sw.fast16_sat(gap, subj.shape[1])
-        if sat >= 4096:
+        if fast16 and sat >= 4096:
             return xla_sw.sw_score_bucket_fast16(
                 prof, subj, gap=gap, strip=strip, sat=sat, stage_int8=stage_int8
             )
