@@ -549,29 +549,164 @@ class SearchEngine:
         order = np.lexsort((cand_ids, -vals))[:k]
         return [(int(cand_ids[i]), int(vals[i])) for i in order]
 
+    def _wave_many_step(self):
+        """Jitted multi-query wavefront step: (lhsB4, wave_stacks) -> (Q, total).
+
+        Q equal-band-count queries fold into the kernel's band grid axis
+        (swtpu.ops.wave_sw), so the WHOLE batch is one device dispatch per
+        call — amortising the per-dispatch round trip and per-program ramp
+        costs that dominate short-query searches.
+        """
+        if getattr(self, "_wave_many_fn", None) is not None:
+            return self._wave_many_fn
+        cfg = self.config
+        mesh = self._mesh
+
+        def wave_multi(lhsB4, subjT):
+            from ..ops import wave_sw
+
+            L2, Bp = subjT.shape
+            return wave_sw.sw_wave(
+                lhsB4,
+                subjT,
+                gap=cfg.gap_penalty,
+                Lc=wave_sw.pick_lc(L2 - wave_sw.W),
+                Bt=wave_sw.pick_bt_div(Bp),
+                interpret=cfg.interpret,
+            )
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+
+            axis = cfg.mesh_axes[0]
+            _wave_local = wave_multi
+
+            def wave_multi(lhsB4, subjT):  # noqa: F811
+                return shard_map(
+                    _wave_local,
+                    mesh=mesh,
+                    in_specs=(P(), P(None, axis)),
+                    out_specs=P(None, axis),
+                    check_vma=False,
+                )(lhsB4, subjT)
+
+        def step(lhsB4, wave_stacks):
+            outs = [wave_multi(lhsB4, subjT) for subjT in wave_stacks]
+            return jnp.concatenate(outs, axis=1)  # (Q, total flat rows)
+
+        self._wave_many_fn = jax.jit(step)
+        return self._wave_many_fn
+
+    def _search_many_wave(
+        self, queries: List[Query], db: Database, packed: PackedDatabase
+    ) -> List[SearchResult]:
+        """Multi-query serving on the wavefront kernel (one dispatch per
+        query batch piece instead of one per query)."""
+        from ..ops import wave_sw
+
+        cfg = self.config
+        # Group by equal padded band count: a batched kernel runs every
+        # query for the group's full band range, so only equal-qpad queries
+        # share a dispatch with zero waste (query_ladder collapses serving
+        # lengths onto few rungs, making these groups large in practice).
+        by_qpad: dict = {}
+        for i, q in enumerate(queries):
+            qpad = self._query_pad(q.length, wave_sw.W)
+            by_qpad.setdefault(qpad, []).append(i)
+
+        out: List[Optional[SearchResult]] = [None] * len(queries)
+        step = self._wave_many_step()
+        stacks = tuple(g.stack for g in packed.wave_groups)
+        for qpad, idxs in by_qpad.items():
+            pos = 0
+            while pos < len(idxs):
+                # Binary piece sizes (<=16): O(log) distinct compiled Q
+                # shapes per band count, no wasted pad queries.
+                take = 16
+                while take > len(idxs) - pos:
+                    take //= 2
+                piece = idxs[pos : pos + take]
+                pos += take
+                t_start = time.perf_counter()
+                lhs = np.stack(
+                    [
+                        wave_sw.build_lhs_banded(
+                            xla_sw.make_profile(
+                                queries[i].residues, self.matrix, pad_rows_to=qpad
+                            )
+                        )
+                        for i in piece
+                    ]
+                )
+                if self._mesh is None:
+                    lhs_dev = jnp.asarray(lhs)
+                else:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    lhs_dev = jax.device_put(lhs, NamedSharding(self._mesh, P()))
+                t_device = time.perf_counter()
+                try:
+                    flat_all = np.asarray(step(lhs_dev, stacks))  # (Q, total)
+                except Exception as e:
+                    from ..utils.memory import reraise_oom
+
+                    reraise_oom(
+                        e,
+                        f"batched scoring of {len(piece)} queries vs a packed "
+                        f"database of {packed.total_cells} cells",
+                    )
+                device_seconds = time.perf_counter() - t_device
+                wall = time.perf_counter() - t_start
+                total_true = sum(queries[i].length for i in piece) * db.length_sum
+                for row, i in enumerate(piece):
+                    scores = self._reduce_flat(flat_all[row], packed, db, None)
+                    share = (queries[i].length * db.length_sum) / max(total_true, 1)
+                    out[i] = SearchResult(
+                        scores=scores,
+                        metrics=SearchMetrics(
+                            query_length=queries[i].length,
+                            n_subjects=db.n,
+                            residue_sum=db.length_sum,
+                            padded8_sum=db.padded_length_sum(8),
+                            packed_cells=qpad * packed.total_cells,
+                            wall_seconds=wall * share,
+                            device_seconds=max(device_seconds * share, 1e-12),
+                        ),
+                    )
+        return out  # type: ignore[return-value]
+
     def search_many(
         self, queries: List[Query], db: Database, packed: Optional[PackedDatabase] = None
     ) -> List[SearchResult]:
         """Batched multi-query search: ONE dispatch scores every query.
 
-        Profiles are padded to a common row count and the packed-database
-        step is vmapped over the query axis, so the per-DP-row work grows
-        to (Q, B, L) cells — amortising row-step overheads across queries
-        (the reference's Performance suite runs 17 queries back-to-back;
-        here they can share one launch).  Queries of similar length batch
-        best (shorter profiles pad up to the longest).
+        On the wavefront path, equal-padded-length queries fold into the
+        Pallas kernel's band grid axis and share single dispatches (the
+        reference's Performance suite runs 17 queries back-to-back,
+        test/swissprot_tests.cpp:99-115; here they share launches).  On the
+        XLA path, profiles pad to a common row count and the packed step is
+        vmapped over the query axis.
         """
         cfg = self.config
         if not queries:
             return []
         if self._wave_enabled:
-            # Wavefront dispatches are already device-throughput-bound and
-            # vmapping a Pallas step would multiply its VMEM working set;
-            # per-query fused dispatches are the fast configuration
-            # (BENCHMARKS.md "Multi-query serving").
-            if packed is not None:
-                return [self.search_packed(q, db, packed) for q in queries]
-            return [self.search(q, db) for q in queries]
+            if packed is None:
+                if not cfg.device_resident or self.plan(db).total_cells > self._resident_cells:
+                    return [self.search(q, db) for q in queries]
+                cached = getattr(self, "_resident", None)
+                if cached is None or cached[0] is not db:
+                    self._resident = (db, self.pack_to_device(db))
+                packed = self._resident[1]
+            if packed.wave_groups and not packed.groups and not packed.seg_groups:
+                return self._search_many_wave(queries, db, packed)
+            # Mixed packing (non-wave groups present): per-query dispatches.
+            return [self.search_packed(q, db, packed) for q in queries]
         if packed is None:
             # Honour the residency budget like search(): oversized or
             # explicitly non-resident databases fall back to per-query

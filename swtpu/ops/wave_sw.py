@@ -117,9 +117,9 @@ def transpose_pad(subjects: np.ndarray, width: int, w: int = W) -> np.ndarray:
 
 
 def _wave_kernel(
-    lhs_ref,  # (1, G*w, KPAD) int8 — this band's banded profile
+    lhs_ref,  # (1, 1, G*w, KPAD) int8 — this (query, band)'s banded profile
     subj_ref,  # (Lc, Bt) int8 — this chunk's transposed subjects
-    out_ref,  # (1, w, Bt) int32 — per-tile best accumulator
+    out_ref,  # (1, 1, w, Bt) int32 — per-(tile, query) best accumulator
     tc_ref,  # HBM (n_tiles, LT, Bt) int32 — band bottom-row carry
     oh_ref,  # ((Lc+w+1)*32, Bt) int8 scratch — one-hot incl. w-col lookback
     sp_ref,  # (Lc+w-8, w, Bt) int8 scratch — mod-8-skewed staged scores
@@ -135,10 +135,18 @@ def _wave_kernel(
     gap: int,
     Lc: int,
     w: int,
+    n_bands: int,
     unroll: bool = True,
 ):
     i = pl.program_id(0)
-    band = pl.program_id(1)
+    # Grid dim 1 folds (query, band): qb = query * n_bands + band.  Queries
+    # are serviced serially per lane tile, each re-zeroing the top boundary
+    # at its band 0 and accumulating into its own out slot — Q queries are
+    # just a Q-times-longer band axis sharing one dispatch (the multi-query
+    # serving path; the reference instead re-runs its whole pipeline per
+    # query, test/swissprot_tests.cpp:99-115).
+    qb = pl.program_id(1)
+    band = jax.lax.rem(qb, n_bands)
     chunk = pl.program_id(2)
     n_chunks = pl.num_programs(2)
     Bt = subj_ref.shape[1]
@@ -151,7 +159,7 @@ def _wave_kernel(
     defer_wr = n_chunks > 1
 
     if defer_wr:
-        not_first = jnp.logical_or(i > 0, jnp.logical_or(band > 0, chunk > 0))
+        not_first = jnp.logical_or(i > 0, jnp.logical_or(qb > 0, chunk > 0))
 
         @pl.when(not_first)
         def _wait_prev_brow():
@@ -195,7 +203,7 @@ def _wave_kernel(
     # the group at base tlb covers sp rows [LOOKB+tlb, LOOKB+tlb+G) = scores
     # (r, t0 + tlb + tl - r%8); its rhs rows start at column-local
     # tlb + LOOKB + 1.  The lhs K-tail is zero, masking any pad rows.
-    lhs = lhs_ref[0]
+    lhs = lhs_ref[0, 0]
     for g0 in range((Lc + LOOKB) // G):
         tlb = g0 * G - LOOKB
         sm = jax.lax.dot_general(
@@ -250,7 +258,7 @@ def _wave_kernel(
         lastb_ref[:] = h[w - 1 : w, :]
         return h, d1, best, top_t
 
-    best0 = out_ref[0]
+    best0 = out_ref[0, 0]
     top0 = tcw_ref[pl.ds(7, 1), :]
     carry = (d_ref[1], d_ref[0], best0, top0)
     if unroll:
@@ -264,7 +272,7 @@ def _wave_kernel(
     d1, d2, best, _ = carry
     d_ref[0] = d2
     d_ref[1] = d1
-    out_ref[0] = best
+    out_ref[0, 0] = best
 
     # ---- bottom-row write: columns [t0-w, t0+Lc-w) at rows [t0, t0+Lc).
     wr = pltpu.make_async_copy(brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1])
@@ -275,7 +283,7 @@ def _wave_kernel(
         # a DMA may not outlive the kernel: the grid's final program waits
         last = jnp.logical_and(
             i == pl.num_programs(0) - 1,
-            jnp.logical_and(band == pl.num_programs(1) - 1, chunk == n_chunks - 1),
+            jnp.logical_and(qb == pl.num_programs(1) - 1, chunk == n_chunks - 1),
         )
 
         @pl.when(last)
@@ -301,10 +309,15 @@ def _wave_kernel(
 def sw_wave(
     lhsB, subjT, *, gap: int, Lc: int = 128, Bt: int = 512, w: int = W, interpret: bool = False
 ):
-    """Max SW score of one query vs a transposed bucket (exact int32).
+    """Max SW score of one or more queries vs a transposed bucket (int32).
 
     Args:
-      lhsB: (n_bands, G*w, KPAD) int8 banded profile (build_lhs_banded).
+      lhsB: (n_bands, G*w, KPAD) int8 banded profile (build_lhs_banded) for
+        a single query, or (n_queries, n_bands, G*w, KPAD) for the batched
+        multi-query path — Q equal-band-count queries share ONE dispatch by
+        folding (query, band) into the grid's band axis; each query
+        accumulates into its own output slot and re-zeroes the carry top
+        boundary at its band 0.
       subjT: (L2, B) int8 transposed subjects (transpose_pad), L2 % Lc == 0,
         with >= w-1 trailing pad columns; B % Bt == 0.
       gap: linear gap penalty.
@@ -315,28 +328,40 @@ def sw_wave(
         at double the band VMEM and query-row padding.
 
     Returns:
-      (B,) int32 exact max scores (bit-identical to swtpu.ops.oracle).
+      (B,) int32 exact max scores for 3-D lhsB (bit-identical to
+      swtpu.ops.oracle), (n_queries, B) for 4-D lhsB.
     """
-    n_bands = lhsB.shape[0]
+    single = lhsB.ndim == 3
+    if single:
+        lhsB = lhsB[None]
+    n_q, n_bands = lhsB.shape[0], lhsB.shape[1]
     L2, B = subjT.shape
     assert L2 % Lc == 0 and B % Bt == 0 and Lc % G == 0 and w % 8 == 0
     n_tiles = B // Bt
     n_chunks = L2 // Lc
     LT = L2 + w
-    kern = functools.partial(_wave_kernel, gap=gap, Lc=Lc, w=w, unroll=not interpret)
+    kern = functools.partial(
+        _wave_kernel, gap=gap, Lc=Lc, w=w, n_bands=n_bands, unroll=not interpret
+    )
     best, _ = pl.pallas_call(
         kern,
-        grid=(n_tiles, n_bands, n_chunks),
+        grid=(n_tiles, n_q * n_bands, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, G * w, KPAD), lambda i, b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lc, Bt), lambda i, b, c: (c, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, G * w, KPAD),
+                lambda i, qb, c: (qb // n_bands, qb % n_bands, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((Lc, Bt), lambda i, qb, c: (c, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, w, Bt), lambda i, b, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, w, Bt), lambda i, qb, c: (i, qb // n_bands, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, w, Bt), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, n_q, w, Bt), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, LT, Bt), jnp.int32),
         ),
         scratch_shapes=[
@@ -352,13 +377,14 @@ def sw_wave(
             pltpu.SemaphoreType.DMA((4,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * (L2 + (w - 8) * n_chunks) * n_bands * KPAD,
-            bytes_accessed=B * L2 + B * LT * 8 * n_bands,
+            flops=2 * B * (L2 + (w - 8) * n_chunks) * n_q * n_bands * KPAD,
+            bytes_accessed=B * L2 + B * LT * 8 * n_q * n_bands,
             transcendentals=0,
         ),
         interpret=interpret,
     )(lhsB, subjT)
-    return jnp.max(best, axis=1).reshape(B)
+    scores = jnp.moveaxis(jnp.max(best, axis=2), 1, 0).reshape(n_q, B)
+    return scores[0] if single else scores
 
 
 def sw_score_bucket_wave(

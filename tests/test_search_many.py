@@ -52,3 +52,37 @@ def test_search_many_oracle_and_saturation():
 def test_search_many_empty():
     db = database_from_sequences([_rand_seq(30)])
     assert SearchEngine(SWConfig()).search_many([], db) == []
+
+
+def test_search_many_wave_batched_matches_single():
+    """Wave path: equal-qpad queries share one batched kernel dispatch and
+    must be bit-identical to per-query wave searches (and the XLA path)."""
+    seqs = [_rand_seq(int(RNG.integers(10, 300))) for _ in range(50)]
+    db = database_from_sequences(seqs)
+    # 5 equal-pad queries (one batch piece of 4 + one of 1) + 1 longer
+    queries = [_q(_rand_seq(n)) for n in (20, 25, 30, 31, 28, 100)]
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True))
+    many = eng.search_many(queries, db)
+    assert len(many) == len(queries)
+    for q, res in zip(queries, many):
+        single = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+        np.testing.assert_array_equal(res.scores, single.scores)
+        assert res.metrics.query_length == q.length
+        assert res.metrics.device_seconds > 0
+
+
+def test_search_many_wave_mesh_matches_single():
+    """Batched multi-query wave under shard_map on the CPU mesh."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    seqs = [_rand_seq(int(RNG.integers(10, 200))) for _ in range(30)]
+    db = database_from_sequences(seqs)
+    queries = [_q(_rand_seq(n)) for n in (22, 27, 30)]
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True, mesh_shape=(2,)))
+    many = eng.search_many(queries, db)
+    ref = SearchEngine(SWConfig(use_wave=True, interpret=True))
+    for q, res in zip(queries, many):
+        np.testing.assert_array_equal(res.scores, ref.search(q, db).scores)
