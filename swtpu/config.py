@@ -81,10 +81,12 @@ class SWConfig:
     # --- serving -----------------------------------------------------------
     # Round query-row padding up a geometric ladder (32-step to 256, then
     # ~1.25x) so a serving fleet compiles O(log) kernel variants instead of
-    # one per query length.  Costs <= ~12% padded query rows; scores are
-    # unchanged (pad profile rows are score-neutral).  Off by default: the
-    # benchmark protocol measures per-exact-length compiles.
-    query_ladder: bool = False
+    # one per query length.  Costs <= ~17% padded query rows; scores are
+    # unchanged (pad profile rows are score-neutral).  None (default) =
+    # auto: ladder ON for the batched serving path (search_many, where it
+    # also merges queries into shared dispatches), exact padding for
+    # single searches (the benchmark protocol measures exact lengths).
+    query_ladder: Optional[bool] = None
 
     # --- parallelism -------------------------------------------------------
     # Device mesh axis sizes: (data,) database sharding across chips.

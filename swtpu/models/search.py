@@ -114,14 +114,22 @@ class SearchEngine:
             1, config.n_devices
         )
 
-    def _query_pad(self, qlen: int, quantum: int) -> int:
+    def _query_pad(self, qlen: int, quantum: int, serving: bool = False) -> int:
         """Row padding target for a query: exact quantum, or the serving
-        ladder (32-step to 256, then ~1.25x on the 32 grid) when
-        ``config.query_ladder`` is on."""
+        ladder (32-step to 256, then ~1.25x on the 32 grid).
+
+        The ladder engages when ``config.query_ladder`` is True, or in auto
+        mode (None) on batched serving paths (``serving=True``) where it
+        both bounds compiled shapes and merges queries into shared
+        dispatches.
+        """
         import math
 
         qpad = -(-max(qlen, 1) // quantum) * quantum
-        if not self.config.query_ladder:
+        ladder = self.config.query_ladder
+        if ladder is None:
+            ladder = serving
+        if not ladder:
             return qpad
         step = quantum
         while step < qpad:
@@ -616,7 +624,7 @@ class SearchEngine:
         # lengths onto few rungs, making these groups large in practice).
         by_qpad: dict = {}
         for i, q in enumerate(queries):
-            qpad = self._query_pad(q.length, wave_sw.W)
+            qpad = self._query_pad(q.length, wave_sw.W, serving=True)
             by_qpad.setdefault(qpad, []).append(i)
 
         out: List[Optional[SearchResult]] = [None] * len(queries)

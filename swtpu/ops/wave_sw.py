@@ -53,15 +53,26 @@ G = 4  # wavefront steps per staging matmul group
 KPAD = -(-((G + 7) * A32) // 128) * 128  # 384
 
 
+# The compiled chunk-size family: every bucket's Lc comes from this ladder,
+# so widening the width ladder (utils.bucketing.wave_width_edges) adds no
+# new Mosaic kernel shapes.
+LC_LADDER = (256, 224, 192, 160, 128, 96, 64)
+
+
+def has_lc(need: int) -> bool:
+    """True iff a padded length `need` = width + w divides by a ladder Lc."""
+    return any(need % lc == 0 for lc in LC_LADDER)
+
+
 def pick_lc(width: int, w: int = W) -> int:
     """Column-chunk size for a bucket of (true) width `width`.
 
     Bigger chunks amortise the staging lookback ((Lc+w-8)/Lc matmul work)
     and per-chunk fixed costs; smaller chunks keep narrow buckets from
-    padding up.  Buckets from wave_width_edges satisfy (width + w) % 64 == 0.
+    padding up.  Buckets from wave_width_edges satisfy has_lc(width + w).
     """
     need = width + w
-    for lc in (256, 224, 192, 160, 128, 96, 64):
+    for lc in LC_LADDER:
         if need % lc == 0:
             return lc
     return 64
@@ -87,6 +98,32 @@ def pick_bt_div(n_rows: int, w: int = W) -> int:
     raise ValueError(f"lane count {n_rows} is not a multiple of 128")
 
 
+# Measured steady-state kernel throughput per lane-tile size relative to
+# Bt=512 (v5e, 4096x480x512 host-barrier timing): smaller tiles pay more
+# per-program fixed costs but allow finer lane padding.
+BT_SPEED = {512: 1.0, 256: 0.96, 128: 0.88}
+
+
+def pick_lanes(n_rows: int, lane_multiple: int = 1, w: int = W):
+    """(Bt, padded lane count) maximising TRUE-cell throughput for a bucket.
+
+    Coarse 512-lane quanta waste up to 511 pad lanes per bucket (a 700-row
+    bucket would pad 46%); fine 128-lane quanta force a smaller, slightly
+    slower lane tile.  Scores each quantum with the measured BT_SPEED ratio
+    and takes the best — the wavefront answer to the reference's fixed
+    32-per-block padding waste (src/SWSolver.cu:316-322).
+    """
+    best = None
+    for bt in (512, 256, 128):
+        quant = bt * lane_multiple
+        bpad = -(-max(n_rows, 1) // quant) * quant
+        bt_eff = pick_bt_div(bpad // lane_multiple, w)
+        eff = n_rows / bpad * BT_SPEED[bt_eff]
+        if best is None or eff > best[0]:
+            best = (eff, bt_eff, bpad)
+    return best[1], best[2]
+
+
 def build_lhs_banded(profile: np.ndarray, w: int = W) -> np.ndarray:
     """Per-band banded skew-staging lhs: (n_bands, G*w, KPAD) int8.
 
@@ -110,7 +147,7 @@ def transpose_pad(subjects: np.ndarray, width: int, w: int = W) -> np.ndarray:
     """(B, L<=width) bucket -> (width + w, B) transposed wave layout."""
     B, L = subjects.shape
     L2 = width + w
-    assert L2 % 64 == 0, "bucket width must satisfy (width + w) % 64 == 0"
+    assert has_lc(L2), "bucket width must satisfy has_lc(width + w)"
     out = np.full((L2, B), PAD_SUBJECT, dtype=np.int8)
     out[:L, :] = subjects.T
     return out
@@ -404,7 +441,10 @@ def sw_score_bucket_wave(
     arr = np.asarray(profile_or_lhs)
     lhsB = build_lhs_banded(arr, w) if arr.ndim == 2 else arr
     B, L = subjects.shape
-    width = -(-(L + w) // 64) * 64 - w  # smallest width >= L with (w+width) % 64 == 0
+    need = -(-(L + w) // 32) * 32  # smallest ladder-compatible padded length
+    while not has_lc(need):
+        need += 32
+    width = need - w
     Lc = pick_lc(width, w)
     Bt = pick_bt(B)
     pad_b = (-B) % Bt

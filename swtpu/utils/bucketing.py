@@ -258,24 +258,32 @@ def pack_database(db: Database, plan: BatchPlan, device_put=None) -> PackedDatab
     return PackedDatabase(groups=tuple(groups), n_sequences=plan.n_sequences)
 
 
-def wave_width_edges(max_len: int, ratio: float = 1.25) -> List[int]:
-    """Width ladder for the wavefront kernel: widths w with (w+32) % 64 == 0.
+def wave_width_edges(max_len: int, ratio: float = 1.12) -> List[int]:
+    """Width ladder for the wavefront kernel: widths w whose padded length
+    (w+32) divides by a chunk size from wave_sw.LC_LADDER — kernel
+    round-up waste stays ZERO and no new Mosaic kernel shapes appear.
 
-    The wavefront layout (swtpu.ops.wave_sw) puts subjects on lanes and pads
-    each bucket by exactly W=32 trailing columns, so a (w+32)-on-the-64-grid
-    ladder makes the kernel's chunk round-up waste ZERO.  Fine 64-steps up
-    to 480 (SwissProt's median ~290 lands with ~10% pad), then geometric.
+    Fine 32-granular rungs to 992 (SwissProt's median ~290 lands with ~6%
+    rung pad vs ~11% on the round-2 64-granular ladder), 128-granular to
+    2016, then ~1.12-geometric on the 256 grid for the long tail: measured
+    padded/true 1.18 vs 1.24 (lane padding handled separately by
+    wave_sw.pick_lanes).
     """
+    from ..ops import wave_sw
+
     edges = []
-    l2 = 64
+    need = 64
     while True:
-        edges.append(l2 - 32)
-        if l2 - 32 >= max_len:
-            return edges
-        if l2 < 512:
-            l2 += 64
+        if wave_sw.has_lc(need):
+            edges.append(need - 32)
+            if need - 32 >= max_len:
+                return edges
+        if need < 1024:
+            need += 32
+        elif need < 2048:
+            need += 128
         else:
-            l2 = -(-int(l2 * ratio) // 64) * 64
+            need = -(-int(need * ratio) // 256) * 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -324,36 +332,45 @@ def pack_database_wave(
     edges = np.array(wave_width_edges(int(lengths.max())), dtype=np.int64)
     which = np.searchsorted(edges, lengths[pos])
     idx_pos = np.nonzero(pos)[0]
-    # Absorb sparse wide rungs downward: every bucket pays a 128-lane tile
-    # floor, so a handful of ultra-long sequences per rung would waste up to
-    # 127 pad lanes x a huge width each.  Merge the widest rungs until the
-    # open bucket fills its minimum tile (the width-pad added is far below
-    # the lane-pad saved for tail-shaped length distributions).
+    # Optimal rung -> bucket partition: every bucket pays lane padding up
+    # to its quantum (wave_sw.pick_lanes) while merging rung i..j pads all
+    # their sequences to width edges[j].  An O(r^2) DP over the occupied
+    # rungs (r <= ~50) minimises total padded cells weighted by the
+    # measured lane-tile speed — subsuming the round-2 "absorb sparse wide
+    # rungs" heuristic and cutting 60k-scale padding materially (small
+    # databases are lane-pad-bound).
+    occ = sorted(np.unique(which))
+    counts = {e: int((which == e).sum()) for e in occ}
+
+    def bucket_cost(nrows: int, width: int) -> float:
+        bt, bpad = wave_sw.pick_lanes(nrows, lane_multiple)
+        return bpad * (width + wave_sw.W) / wave_sw.BT_SPEED[bt]
+
+    r = len(occ)
+    best = [0.0] * (r + 1)
+    cut = [0] * (r + 1)
+    for j in range(1, r + 1):
+        best[j] = float("inf")
+        nrows = 0
+        for i in range(j - 1, -1, -1):
+            nrows += counts[occ[i]]
+            c = best[i] + bucket_cost(nrows, int(edges[occ[j - 1]]))
+            if c < best[j]:
+                best[j], cut[j] = c, i
     rung_list: List[Tuple[int, np.ndarray]] = []
-    open_ids: List[np.ndarray] = []
-    open_w = None
-    for e in sorted(np.unique(which), reverse=True):
-        ids_e = idx_pos[which == e]
-        if open_w is not None and ids_e.shape[0] >= 128:
-            # incoming rung stands on its own: flush the sparse open bucket
-            rung_list.append((open_w, np.concatenate(open_ids)))
-            open_w, open_ids = None, []
-        if open_w is None:
-            open_w, open_ids = int(edges[e]), [ids_e]
-        else:
-            open_ids.append(ids_e)
-        if sum(a.shape[0] for a in open_ids) >= 128:
-            rung_list.append((open_w, np.concatenate(open_ids)))
-            open_w, open_ids = None, []
-    if open_w is not None:
-        rung_list.append((open_w, np.concatenate(open_ids)))
+    j = r
+    while j > 0:
+        i = cut[j]
+        ids_merged = np.concatenate([idx_pos[which == e] for e in occ[i:j]])
+        rung_list.append((int(edges[occ[j - 1]]), ids_merged))
+        j = i
     groups = []
     for width, ids_all in sorted(rung_list):
         for s in range(0, ids_all.shape[0], max_rows):
             ids = ids_all[s : s + max_rows]
-            bt = wave_sw.pick_bt(max(1, ids.shape[0] // lane_multiple))
-            quant = bt * lane_multiple
-            bpad = -(-ids.shape[0] // quant) * quant
+            # Adaptive lane quantum: trade pad lanes against lane-tile
+            # speed with the measured BT_SPEED model.
+            bt, bpad = wave_sw.pick_lanes(ids.shape[0], lane_multiple)
             l2 = width + wave_sw.W
             stack = None
             if db.residues.shape[0]:
