@@ -92,6 +92,14 @@ class SWConfig:
     # Device mesh axis sizes: (data,) database sharding across chips.
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("db",)
+    # QUERY-band sharding (sequence-parallel): with a mesh, split the
+    # query's wavefront bands across devices instead of the database lanes,
+    # pipelining lane tiles systolically with the kernel's HBM bottom-row
+    # carry shipped over ICI (swtpu.parallel.query_shard).  Enable for
+    # LATENCY on long-query x small-database searches (the database is
+    # replicated to every device); leave off for throughput — database
+    # sharding has zero cross-device traffic until the final gather.
+    query_shard: bool = False
 
     def __post_init__(self):
         if self.gap_penalty < 0:

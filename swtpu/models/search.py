@@ -268,6 +268,13 @@ class SearchEngine:
 
             if self._mesh is None:
                 dput = self._device_put
+            elif cfg.query_shard:
+                # Query-band sharding: the database REPLICATES to every
+                # device (lanes pipeline systolically; bands shard).
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self._mesh, P())
+                dput = lambda a: jax.device_put(a, rep)  # noqa: E731
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -277,7 +284,9 @@ class SearchEngine:
                 groups=(),
                 n_sequences=db.n,
                 wave_groups=pack_database_wave(
-                    db, device_put=dput, lane_multiple=cfg.n_devices
+                    db,
+                    device_put=dput,
+                    lane_multiple=1 if cfg.query_shard else cfg.n_devices,
                 ),
             )
 
@@ -384,7 +393,31 @@ class SearchEngine:
                 interpret=cfg.interpret,
             )
 
-        if mesh is not None:
+        if mesh is not None and cfg.query_shard:
+            # Query-band sharding: bands split across devices, lane tiles
+            # pipeline systolically with the kernel's HBM carry over ICI.
+            from ..parallel.query_shard import make_wave_query_sharded_step
+
+            axis = cfg.mesh_axes[0]
+            n = cfg.n_devices
+
+            def wave_one(lhsB, subjT):  # noqa: F811
+                from ..ops import wave_sw
+
+                L2, Bp = subjT.shape
+                Bt = wave_sw.pick_bt_div(Bp)
+                return make_wave_query_sharded_step(
+                    mesh,
+                    axis,
+                    gap=cfg.gap_penalty,
+                    n_bands_local=lhsB.shape[0] // n,
+                    n_tiles=Bp // Bt,
+                    Lc=wave_sw.pick_lc(L2 - wave_sw.W),
+                    Bt=Bt,
+                    interpret=cfg.interpret,
+                )(lhsB, subjT)
+
+        elif mesh is not None:
             # Lane-sharded wavefront: each device scores its subject shard
             # with the same Pallas kernel; concat/top-k outside the
             # shard_map inserts the (tiny) collectives.
@@ -711,6 +744,10 @@ class SearchEngine:
                 if cached is None or cached[0] is not db:
                     self._resident = (db, self.pack_to_device(db))
                 packed = self._resident[1]
+            if cfg.query_shard and self._mesh is not None:
+                # Band-sharded engine: the batched multi-query kernel path
+                # assumes a single query per carry chain.
+                return [self.search_packed(q, db, packed) for q in queries]
             if packed.wave_groups and not packed.groups and not packed.seg_groups:
                 return self._search_many_wave(queries, db, packed)
             # Mixed packing (non-wave groups present): per-query dispatches.
@@ -868,8 +905,11 @@ class SearchEngine:
             if packed.wave_groups:
                 from ..ops import wave_sw
 
+                # Query-band sharding needs an equal whole-band split per
+                # device, so the band quantum scales with the mesh size.
+                wq = wave_sw.W * (cfg.n_devices if cfg.query_shard else 1)
                 prof_w = xla_sw.make_profile(
-                    query.residues, self.matrix, pad_rows_to=self._query_pad(query.length, wave_sw.W)
+                    query.residues, self.matrix, pad_rows_to=self._query_pad(query.length, wq)
                 )
                 lhsB = wave_sw.build_lhs_banded(prof_w)
                 if self._mesh is None:
@@ -887,6 +927,7 @@ class SearchEngine:
             and packed.wave_groups
             and not packed.groups
             and not packed.seg_groups
+            and not (cfg.query_shard and self._mesh is not None)
         ):
             t_device = time.perf_counter()
             hits = self._device_topk_hits(packed, lhsB_dev, cfg.top_k)

@@ -156,25 +156,46 @@ def transpose_pad(subjects: np.ndarray, width: int, w: int = W) -> np.ndarray:
 def _wave_kernel(
     lhs_ref,  # (1, 1, G*w, KPAD) int8 — this (query, band)'s banded profile
     subj_ref,  # (Lc, Bt) int8 — this chunk's transposed subjects
-    out_ref,  # (1, 1, w, Bt) int32 — per-(tile, query) best accumulator
-    tc_ref,  # HBM (n_tiles, LT, Bt) int32 — band bottom-row carry
-    oh_ref,  # ((Lc+w+1)*32, Bt) int8 scratch — one-hot incl. w-col lookback
-    sp_ref,  # (Lc+w-8, w, Bt) int8 scratch — mod-8-skewed staged scores
-    sk_ref,  # (Lc, w, Bt) int8 scratch — fully skewed (step-ordered) scores
-    tcw_ref,  # (Lc+8, Bt) int32 scratch — top-carry window, cols [t0-8, t0+Lc)
-    brow_ref,  # (Lc, Bt) int32 scratch — bottom rows, cols [t0-w, t0+Lc-w)
-    lastb_ref,  # (1, Bt) int32 scratch — previous step's bottom value
-    zero_ref,  # (w, Bt) int32 scratch — zero block for the carry tail
-    tail_ref,  # (w, Bt) int8 scratch — previous chunk's last w subject cols
-    d_ref,  # (2, w, Bt) int32 scratch — D1/D2 carry across chunks
-    sems,  # DMA semaphores (4,)
-    *,
+    # with has_top_in an extra input follows: tcin_ref (n_tiles, LT, Bt)
+    # int32 HBM — band 0's top boundary (a previous band-group's carry)
+    *refs,  # out_ref, tc_ref, then scratch:
+    # out_ref (1, 1, w, Bt) int32 — per-(tile, query) best accumulator
+    # tc_ref HBM (n_tiles, LT, Bt) int32 — band bottom-row carry
+    # oh_ref ((Lc+w+1)*32, Bt) int8 scratch — one-hot incl. w-col lookback
+    # sp_ref (Lc+w-8, w, Bt) int8 scratch — mod-8-skewed staged scores
+    # sk_ref (Lc, w, Bt) int8 scratch — fully skewed (step-ordered) scores
+    # tcw_ref (Lc+8, Bt) int32 scratch — top-carry window, cols [t0-8, t0+Lc)
+    # brow_ref (Lc, Bt) int32 scratch — bottom rows, cols [t0-w, t0+Lc-w)
+    # lastb_ref (1, Bt) int32 scratch — previous step's bottom value
+    # zero_ref (w, Bt) int32 scratch — zero block for the carry tail
+    # tail_ref (w, Bt) int8 scratch — previous chunk's last w subject cols
+    # d_ref (2, w, Bt) int32 scratch — D1/D2 carry across chunks
+    # sems DMA semaphores (4,)
     gap: int,
     Lc: int,
     w: int,
     n_bands: int,
+    has_top_in: bool = False,
     unroll: bool = True,
 ):
+    if has_top_in:
+        tcin_ref, *refs = refs
+    else:
+        tcin_ref = None
+    (
+        out_ref,
+        tc_ref,
+        oh_ref,
+        sp_ref,
+        sk_ref,
+        tcw_ref,
+        brow_ref,
+        lastb_ref,
+        zero_ref,
+        tail_ref,
+        d_ref,
+        sems,
+    ) = refs
     i = pl.program_id(0)
     # Grid dim 1 folds (query, band): qb = query * n_bands + band.  Queries
     # are serviced serially per lane tile, each re-zeroing the top boundary
@@ -216,6 +237,16 @@ def _wave_kernel(
             tc_ref.at[i, pl.ds(t0 + w - 8, Lc + 8), :], tcw_ref, sems.at[0]
         ).start()
 
+    if has_top_in:
+        # Band 0's top boundary comes from a previous band-group's carry
+        # (same row = column + w layout), enabling query-band sharding:
+        # device d's band 0 consumes device d-1's bottom carry.
+        @pl.when(band == 0)
+        def _top_in_read_start():
+            pltpu.make_async_copy(
+                tcin_ref.at[i, pl.ds(t0 + w - 8, Lc + 8), :], tcw_ref, sems.at[0]
+            ).start()
+
     @pl.when(jnp.logical_and(band == 0, chunk == 0))
     def _init_out():
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -251,9 +282,19 @@ def _wave_kernel(
         )  # (G*w, Bt)
         sp_ref[pl.ds(tlb + LOOKB, G), :, :] = sm.astype(jnp.int8).reshape(G, w, Bt)
 
-    @pl.when(band == 0)
-    def _top_zero():
-        tcw_ref[:] = jnp.zeros_like(tcw_ref)
+    if has_top_in:
+
+        @pl.when(band == 0)
+        def _top_in_read_wait():
+            pltpu.make_async_copy(
+                tcin_ref.at[i, pl.ds(t0 + w - 8, Lc + 8), :], tcw_ref, sems.at[0]
+            ).wait()
+
+    else:
+
+        @pl.when(band == 0)
+        def _top_zero():
+            tcw_ref[:] = jnp.zeros_like(tcw_ref)
 
     @pl.when(band > 0)
     def _top_read_wait():
@@ -342,9 +383,20 @@ def _wave_kernel(
         zw.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("gap", "Lc", "Bt", "w", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("gap", "Lc", "Bt", "w", "interpret", "return_carry")
+)
 def sw_wave(
-    lhsB, subjT, *, gap: int, Lc: int = 128, Bt: int = 512, w: int = W, interpret: bool = False
+    lhsB,
+    subjT,
+    top_in=None,
+    *,
+    gap: int,
+    Lc: int = 128,
+    Bt: int = 512,
+    w: int = W,
+    interpret: bool = False,
+    return_carry: bool = False,
 ):
     """Max SW score of one or more queries vs a transposed bucket (int32).
 
@@ -364,9 +416,17 @@ def sw_wave(
         costs / one-hot builds / carry traffic per cell for wide buckets,
         at double the band VMEM and query-row padding.
 
+    Extra band-sharding hooks (swtpu.parallel.query_shard):
+      top_in: optional (B // Bt, L2 + w, Bt) int32 carry from a PREVIOUS
+        band group (row = column + w layout): band 0 reads its top
+        boundary from it instead of zeros.  Requires a single query.
+      return_carry: also return this call's carry (same layout — the
+        LAST band's bottom row), to hand to the next band group.
+
     Returns:
       (B,) int32 exact max scores for 3-D lhsB (bit-identical to
-      swtpu.ops.oracle), (n_queries, B) for 4-D lhsB.
+      swtpu.ops.oracle), (n_queries, B) for 4-D lhsB; with return_carry,
+      a (scores, carry) tuple.
     """
     single = lhsB.ndim == 3
     if single:
@@ -374,23 +434,36 @@ def sw_wave(
     n_q, n_bands = lhsB.shape[0], lhsB.shape[1]
     L2, B = subjT.shape
     assert L2 % Lc == 0 and B % Bt == 0 and Lc % G == 0 and w % 8 == 0
+    assert top_in is None or n_q == 1, "top_in carry requires a single query"
     n_tiles = B // Bt
     n_chunks = L2 // Lc
     LT = L2 + w
     kern = functools.partial(
-        _wave_kernel, gap=gap, Lc=Lc, w=w, n_bands=n_bands, unroll=not interpret
+        _wave_kernel,
+        gap=gap,
+        Lc=Lc,
+        w=w,
+        n_bands=n_bands,
+        has_top_in=top_in is not None,
+        unroll=not interpret,
     )
-    best, _ = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, G * w, KPAD),
+            lambda i, qb, c: (qb // n_bands, qb % n_bands, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((Lc, Bt), lambda i, qb, c: (c, i), memory_space=pltpu.VMEM),
+    ]
+    inputs = [lhsB, subjT]
+    if top_in is not None:
+        assert top_in.shape == (n_tiles, LT, Bt)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(top_in)
+    best, carry = pl.pallas_call(
         kern,
         grid=(n_tiles, n_q * n_bands, n_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, G * w, KPAD),
-                lambda i, qb, c: (qb // n_bands, qb % n_bands, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((Lc, Bt), lambda i, qb, c: (c, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (1, 1, w, Bt), lambda i, qb, c: (i, qb // n_bands, 0, 0), memory_space=pltpu.VMEM
@@ -419,9 +492,10 @@ def sw_wave(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(lhsB, subjT)
+    )(*inputs)
     scores = jnp.moveaxis(jnp.max(best, axis=2), 1, 0).reshape(n_q, B)
-    return scores[0] if single else scores
+    scores = scores[0] if single else scores
+    return (scores, carry) if return_carry else scores
 
 
 def sw_score_bucket_wave(

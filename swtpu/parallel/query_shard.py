@@ -119,6 +119,147 @@ def make_query_sharded_step(
     )
 
 
+def make_wave_query_sharded_step(
+    mesh: Mesh,
+    axis: str,
+    *,
+    gap: int,
+    n_bands_local: int,
+    n_tiles: int,
+    Lc: int,
+    Bt: int,
+    interpret: bool = False,
+):
+    """Systolic query-band pipeline on the WAVEFRONT kernel (round-3 port
+    of the band-carry hand-off, VERDICT item 5).
+
+    Device k owns query bands [k*n_bands_local, (k+1)*n_bands_local) and
+    processes lane tile ``t - k`` at pipeline step t; the hand-off object
+    is the kernel's own HBM bottom-row carry (swtpu.ops.wave_sw sw_wave
+    ``top_in``/``return_carry``), shipped to device k+1 over ICI via
+    ``lax.ppermute`` — so the sharded path runs at full wavefront speed
+    (~10x the u-space fallback above).
+
+    step(lhsB, subjT) with lhsB (n*n_bands_local, G*w, KPAD) int8 and
+    subjT (L2, n_tiles*Bt) int8, both replicated.  Returns (B,) int32
+    scores, bit-identical to the single-device wavefront kernel.
+    """
+    from ..ops import wave_sw
+
+    n = int(np.prod(mesh.devices.shape))
+    w = wave_sw.W
+
+    def local(lhsB, subjT):
+        k = jax.lax.axis_index(axis)
+        L2, B_total = subjT.shape
+        LT = L2 + w
+        my_lhs = jax.lax.dynamic_slice(
+            lhsB, (k * n_bands_local, 0, 0), (n_bands_local, lhsB.shape[1], lhsB.shape[2])
+        )
+        zero_carry = jnp.zeros((1, LT, Bt), jnp.int32)
+
+        def step(carry, t):
+            carry_in, scores = carry
+            j = t - k  # this device's lane tile at pipeline step t
+            active = jnp.logical_and(j >= 0, j < n_tiles)
+            jc = jnp.clip(j, 0, n_tiles - 1)
+            tile = jax.lax.dynamic_slice(subjT, (0, jc * Bt), (L2, Bt))
+            # Device 0 seeds a zero top boundary; later devices continue
+            # from the neighbour's bottom-row carry.
+            top = jnp.where(k == 0, zero_carry, carry_in)
+            tile_scores, carry_out = wave_sw.sw_wave(
+                my_lhs,
+                tile,
+                top,
+                gap=gap,
+                Lc=Lc,
+                Bt=Bt,
+                interpret=interpret,
+                return_carry=True,
+            )
+            scores = jnp.where(
+                active,
+                jax.lax.dynamic_update_slice(scores, tile_scores, (jc * Bt,)),
+                scores,
+            )
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            carry_nxt = jax.lax.ppermute(carry_out, axis, perm)
+            return (carry_nxt, scores), None
+
+        scores0 = jnp.zeros((B_total,), jnp.int32)
+        (_, scores), _ = jax.lax.scan(
+            step, (zero_carry, scores0), jnp.arange(n_tiles + n - 1)
+        )
+        # Each device holds the max over ITS bands; the true score is the
+        # max over all bands — one pmax over ICI.
+        return jax.lax.pmax(scores, axis)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+def make_wave_query_sharded_step_jit(mesh: Mesh, axis: str, **kw):
+    """Jitted wrapper over :func:`make_wave_query_sharded_step` (the bare
+    shard_map'd callable is reusable inside a larger jitted step — the
+    engine's fused packed step embeds it per wave group)."""
+    step = make_wave_query_sharded_step(mesh, axis, **kw)
+    return jax.jit(
+        step,
+        in_shardings=(replicated(mesh), replicated(mesh)),
+        out_shardings=replicated(mesh),
+    )
+
+
+def wave_query_sharded_scores(
+    mesh: Mesh,
+    query_idx: np.ndarray,
+    subjects: np.ndarray,
+    matrix: np.ndarray,
+    *,
+    gap: int,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Score one (long) query against a (B, L) subject batch with query
+    BANDS sharded across the mesh on the wavefront kernel.  Returns (B,)
+    exact int32 scores (== swtpu.ops.oracle)."""
+    from ..ops import wave_sw
+
+    n = int(np.prod(mesh.devices.shape))
+    w = wave_sw.W
+    B, L = subjects.shape
+    need = -(-(L + w) // 32) * 32
+    while not wave_sw.has_lc(need):
+        need += 32
+    width = need - w
+    Lc = wave_sw.pick_lc(width)
+    Bt, bpad = wave_sw.pick_lanes(B)
+    if bpad - B:
+        subjects = np.pad(subjects, ((0, bpad - B), (0, 0)), constant_values=xla_sw.PAD_SUBJECT)
+    subjT = wave_sw.transpose_pad(np.asarray(subjects, np.int8), width)
+
+    prof = xla_sw.make_profile(query_idx, matrix, pad_rows_to=w * n)
+    lhsB = wave_sw.build_lhs_banded(prof)
+    n_bands_local = lhsB.shape[0] // n
+
+    step = make_wave_query_sharded_step_jit(
+        mesh,
+        DB_AXIS,
+        gap=gap,
+        n_bands_local=n_bands_local,
+        n_tiles=bpad // Bt,
+        Lc=Lc,
+        Bt=Bt,
+        interpret=interpret,
+    )
+    out = np.asarray(step(jnp.asarray(lhsB), jnp.asarray(subjT)))
+    return out[:B]
+
+
 def query_sharded_scores(
     mesh: Mesh,
     query_idx: np.ndarray,

@@ -48,3 +48,51 @@ def test_query_sharded_tiny_subject_set():
     prof = xla_sw.make_profile(q, m, pad_rows_to=32)
     want = np.asarray(xla_sw.sw_score_bucket(jnp.asarray(prof), jnp.asarray(subj), gap=2, strip=32))
     np.testing.assert_array_equal(got, want)
+
+
+def test_wave_query_sharded_scores_exact():
+    """Round-3 wavefront port: systolic band pipeline with the kernel's
+    HBM bottom-row carry shipped over ICI — bit-exact vs the XLA kernel."""
+    import numpy as np
+    from swtpu.matrices import blosum50_ref
+    from swtpu.ops import xla_sw
+    from swtpu.parallel.mesh import make_mesh
+    from swtpu.parallel.query_shard import wave_query_sharded_scores
+
+    rng = np.random.default_rng(11)
+    m = blosum50_ref()
+    q = rng.integers(0, 25, 200).astype(np.int8)
+    B, L = 200, 120
+    subjects = np.full((B, L), xla_sw.PAD_SUBJECT, np.int8)
+    for i in range(B):
+        n = int(rng.integers(5, L))
+        subjects[i, :n] = rng.integers(0, 25, n)
+    mesh = make_mesh(4)
+    got = wave_query_sharded_scores(mesh, q, subjects, m, gap=2, interpret=True)
+    prof = xla_sw.make_profile(q, m, pad_rows_to=32)
+    ref = np.asarray(xla_sw.sw_score_bucket(prof, subjects, gap=2, strip=32))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_engine_query_shard_matches_single():
+    """SWConfig.query_shard routes the engine's wave path through the
+    systolic band pipeline; scores/topk identical to the default engine."""
+    import numpy as np
+    from swtpu.alphabet import encode_str
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Query, database_from_sequences
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(12)
+    alphabet = "ARNDCQEGHILKMFPSTWYV"
+    seqs = ["".join(rng.choice(list(alphabet), size=int(n))) for n in rng.integers(5, 150, 40)]
+    db = database_from_sequences(seqs)
+    qs = "".join(rng.choice(list(alphabet), size=75))
+    q = Query(name="Q", residues=encode_str(qs), raw=qs)
+
+    sharded = SearchEngine(
+        SWConfig(use_wave=True, interpret=True, mesh_shape=(2,), query_shard=True)
+    ).search(q, db)
+    single = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+    np.testing.assert_array_equal(sharded.scores, single.scores)
+    assert sharded.top_k(5) == single.top_k(5)
