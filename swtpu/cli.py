@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
         "multi-host runs use swtpu.parallel.distributed instead)",
     )
     p.add_argument(
+        "--query-shard",
+        action="store_true",
+        help="with --mesh N: shard QUERY bands across devices (systolic "
+        "wavefront pipeline; latency mode for long-query x small-DB — the "
+        "database is replicated)",
+    )
+    p.add_argument(
         "--profile",
         metavar="DIR",
         default=None,
@@ -84,6 +91,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         use_wave=args.wave,
         top_k=args.top_k,
         mesh_shape=(args.mesh,),
+        query_shard=args.query_shard,
     )
 
     query = parse_query(args.query)

@@ -335,16 +335,28 @@ def pack_database_wave(
     # Optimal rung -> bucket partition: every bucket pays lane padding up
     # to its quantum (wave_sw.pick_lanes) while merging rung i..j pads all
     # their sequences to width edges[j].  An O(r^2) DP over the occupied
-    # rungs (r <= ~50) minimises total padded cells weighted by the
-    # measured lane-tile speed — subsuming the round-2 "absorb sparse wide
-    # rungs" heuristic and cutting 60k-scale padding materially (small
-    # databases are lane-pad-bound).
+    # rungs (r <= ~50) minimises modeled TIME, not padded cells: measured
+    # kernel throughput is separable as ~1/((lanes + E)(L2 + D)) — a
+    # per-dispatch cost of E ~= 2900 lane-equivalents (grid pipeline
+    # ramp) and a per-band cost of D ~= 410 column-equivalents (one-hot
+    # builds, skew DMAs, ramps) — so many small buckets are far worse
+    # than their padded-cell count suggests (measured: 27 GCUPS at 512
+    # lanes vs 134 at 8192; 45 at width 96 vs 106 at 480).  Subsumes the
+    # round-2 "absorb sparse wide rungs" heuristic.
     occ = sorted(np.unique(which))
     counts = {e: int((which == e).sum()) for e in occ}
+    # Fixed-cost constants: STANDALONE per-dispatch measurements suggest
+    # large per-bucket costs (~2900 lane-equivalents), but inside the
+    # engine's fused step XLA pipelines the per-bucket pallas calls and
+    # A/B runs show padding dominates (E=2900/D=410: 72.5 GCUPS headline;
+    # E=300/D=60: 84.1; E=0/D=0: 87.5) — so the fused-step optimum is the
+    # pure speed-weighted padded-cell objective.
+    E_LANES = 0.0  # per-bucket fixed cost, lane-equivalents
+    D_COLS = 0.0  # per-band fixed cost, column-equivalents
 
     def bucket_cost(nrows: int, width: int) -> float:
         bt, bpad = wave_sw.pick_lanes(nrows, lane_multiple)
-        return bpad * (width + wave_sw.W) / wave_sw.BT_SPEED[bt]
+        return (bpad + E_LANES) * (width + wave_sw.W + D_COLS) / wave_sw.BT_SPEED[bt]
 
     r = len(occ)
     best = [0.0] * (r + 1)

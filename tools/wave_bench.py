@@ -14,20 +14,26 @@ def run(B, L, Q, check=False):
     for i in range(B):
         n = int(rng.integers(max(L//4,1), L+1)); subj[i, :n] = rng.integers(0, 25, n)
     prof = xla_sw.make_profile(q, m, pad_rows_to=wave_sw.W)
-    lhsB = jnp.asarray(wave_sw.build_lhs_banded(prof))
-    width = -(-(L + 32) // 64) * 64 - 32
+    need = -(-(L + 32) // 32) * 32
+    while not wave_sw.has_lc(need):
+        need += 32
+    width = need - 32
     Lc = wave_sw.pick_lc(width)
     subjT = jnp.asarray(wave_sw.transpose_pad(subj, width))
     Bt = wave_sw.pick_bt_div(B)
-    fn = lambda: wave_sw.sw_wave(lhsB, subjT, gap=2, Lc=Lc, Bt=Bt)
-    out = np.asarray(fn())
+    # Timing rules for the remote (axon) tunnel: block_until_ready is
+    # non-blocking there and identical dispatches are served from a result
+    # cache, so cycle DISTINCT lhs inputs and use a device->host transfer
+    # of the last output as the barrier (FIFO device queue).
+    lhs_vars = [jnp.asarray(wave_sw.build_lhs_banded(np.roll(prof, k, axis=0))) for k in range(11)]
+    out = np.asarray(wave_sw.sw_wave(lhs_vars[0], subjT, gap=2, Lc=Lc, Bt=Bt))
     if check:
         ref = np.asarray(xla_sw.sw_score_bucket(jnp.asarray(xla_sw.make_profile(q, m, pad_rows_to=32)), jnp.asarray(subj), gap=2, strip=32))
         assert (out == ref).all(), "MISMATCH"
-    fn().block_until_ready()
     t0 = time.perf_counter(); reps = 10
-    for _ in range(reps): r = fn()
-    r.block_until_ready()
+    for k in range(reps):
+        r = wave_sw.sw_wave(lhs_vars[1 + k % 10], subjT, gap=2, Lc=Lc, Bt=Bt)
+    np.asarray(r)
     dt = (time.perf_counter() - t0) / reps
     cells = B * subjT.shape[0] * prof.shape[0]
     print(f"B={B} L={L} Q={Q} Lc={Lc} Bt={Bt}: {dt*1e3:7.2f} ms {cells/dt/1e9:7.1f} GCUPS(padded) {'OK' if check else ''}")
