@@ -73,6 +73,25 @@ def main() -> int:
     b = SearchEngine(SWConfig(device_resident=False)).search(q2, db10k)
     check("streaming fast16 == resident wavefront", bool((a.scores == b.scores).all()))
 
+    # 6. batched multi-query serving == per-query searches (round-3 path:
+    # queries fold into the wavefront kernel's band grid axis)
+    eng = SearchEngine(SWConfig())
+    queries = [
+        Query(name=f"m{i}", residues=rng.integers(0, 25, int(n)).astype(np.int8), raw="")
+        for i, n in enumerate((150, 155, 160, 280))
+    ]
+    many = eng.search_many(queries, db10k)
+    singles = [SearchEngine(SWConfig()).search(qq, db10k) for qq in queries]
+    check(
+        "batched serving == per-query (wave band batching)",
+        all((m.scores == s.scores).all() for m, s in zip(many, singles)),
+    )
+
+    # 7. query-band sharding engine (systolic top_in carry, compiled
+    # Mosaic on the real chip; mesh of the attached device)
+    qs_res = SearchEngine(SWConfig(mesh_shape=(1,), query_shard=True)).search(q2, db10k)
+    check("query-shard engine (top_in systolic kernel)", bool((qs_res.scores == a.scores).all()))
+
     print("tpu_validate:", "ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
