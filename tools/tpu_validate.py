@@ -87,10 +87,30 @@ def main() -> int:
         all((m.scores == s.scores).all() for m, s in zip(many, singles)),
     )
 
-    # 7. query-band sharding engine (systolic top_in carry, compiled
-    # Mosaic on the real chip; mesh of the attached device)
-    qs_res = SearchEngine(SWConfig(mesh_shape=(1,), query_shard=True)).search(q2, db10k)
-    check("query-shard engine (top_in systolic kernel)", bool((qs_res.scores == a.scores).all()))
+    # 7. query-band sharding (systolic top_in carry, compiled Mosaic on
+    # the real chip).  NOTE: the engine with mesh_shape=(1,) resolves to
+    # no mesh, so drive the sharded step DIRECTLY on an explicit 1-device
+    # mesh — this is what actually compiles the top_in kernel variant.
+    from swtpu.matrices import get_matrix
+    from swtpu.parallel.mesh import make_mesh
+    from swtpu.parallel.query_shard import wave_query_sharded_scores
+
+    rng2 = np.random.default_rng(13)
+    B, L = 700, 333
+    subj = np.full((B, L), -128, dtype=np.int8)
+    from swtpu.ops import xla_sw
+
+    subj[:] = xla_sw.PAD_SUBJECT
+    for i in range(B):
+        nn = int(rng2.integers(5, L))
+        subj[i, :nn] = rng2.integers(0, 25, nn)
+    qres = rng2.integers(0, 25, 500).astype(np.int8)
+    got = wave_query_sharded_scores(make_mesh(1), qres, subj, get_matrix("blosum50_ref"), gap=2)
+    import jax.numpy as jnp
+
+    prof = xla_sw.make_profile(qres, get_matrix("blosum50_ref"), pad_rows_to=32)
+    ref = np.asarray(xla_sw.sw_score_bucket(jnp.asarray(prof), jnp.asarray(subj), gap=2, strip=32))
+    check("query-shard systolic kernel (top_in carry, compiled)", bool((got == ref).all()))
 
     print("tpu_validate:", "ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
