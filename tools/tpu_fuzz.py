@@ -44,6 +44,77 @@ def main(n_cases: int = 14, seed: int = 123) -> int:
     return 0 if n_ok == n_cases else 1
 
 
+def main_multi(n_cases: int = 4, seed: int = 321) -> int:
+    """Multi-query band batching: random Q equal-pad queries in ONE
+    dispatch vs per-query dispatches (round-3 serving path)."""
+    rng = np.random.default_rng(seed)
+    n_ok = 0
+    for i in range(n_cases):
+        L = int(rng.choice([96, 288, 480]))
+        B = int(rng.choice([256, 512]))
+        nq = int(rng.integers(2, 9))
+        qpad = int(rng.choice([64, 160, 320]))
+        gap = int(rng.choice([1, 2]))
+        mat = blosum50_ref()
+        subj = np.full((B, L), xla_sw.PAD_SUBJECT, np.int8)
+        for b in range(B):
+            n = int(rng.integers(0, L + 1))
+            subj[b, :n] = rng.integers(0, 25, n)
+        lhss, singles = [], []
+        width = L
+        need = -(-(L + wave_sw.W) // 32) * 32
+        while not wave_sw.has_lc(need):
+            need += 32
+        width = need - wave_sw.W
+        subjT = jnp.asarray(wave_sw.transpose_pad(subj, width))
+        Lc, Bt = wave_sw.pick_lc(width), wave_sw.pick_bt_div(B)
+        for _ in range(nq):
+            ql = int(rng.integers(qpad - 31, qpad + 1))
+            prof = xla_sw.make_profile(rng.integers(0, 25, ql).astype(np.int8), mat, pad_rows_to=qpad)
+            lhss.append(wave_sw.build_lhs_banded(prof))
+            singles.append(np.asarray(wave_sw.sw_wave(jnp.asarray(lhss[-1]), subjT, gap=gap, Lc=Lc, Bt=Bt)))
+        multi = np.asarray(wave_sw.sw_wave(jnp.asarray(np.stack(lhss)), subjT, gap=gap, Lc=Lc, Bt=Bt))
+        ok = all((multi[k] == singles[k]).all() for k in range(nq))
+        n_ok += ok
+        if not ok:
+            print(f"MULTI MISMATCH case {i}: B={B} L={L} nq={nq} qpad={qpad} gap={gap}")
+    print(f"TPU multi-query fuzz: {n_ok}/{n_cases} configs bit-exact")
+    return 0 if n_ok == n_cases else 1
+
+
+def main_shard(n_cases: int = 3, seed: int = 555) -> int:
+    """Query-band systolic pipeline (top_in carry) vs XLA exact."""
+    from swtpu.parallel.mesh import make_mesh
+    from swtpu.parallel.query_shard import wave_query_sharded_scores
+
+    rng = np.random.default_rng(seed)
+    mesh = make_mesh(1)
+    n_ok = 0
+    for i in range(n_cases):
+        L = int(rng.choice([150, 333, 700]))
+        B = int(rng.integers(100, 900))
+        Q = int(rng.integers(40, 600))
+        gap = int(rng.choice([1, 2]))
+        mat = blosum50_ref()
+        subj = np.full((B, L), xla_sw.PAD_SUBJECT, np.int8)
+        for b in range(B):
+            n = int(rng.integers(0, L + 1))
+            subj[b, :n] = rng.integers(0, 25, n)
+        qres = rng.integers(0, 25, Q).astype(np.int8)
+        got = wave_query_sharded_scores(mesh, qres, subj, mat, gap=gap)
+        prof = xla_sw.make_profile(qres, mat, pad_rows_to=32)
+        want = np.asarray(xla_sw.sw_score_bucket(jnp.asarray(prof), jnp.asarray(subj), gap=gap, strip=32))
+        ok = bool((got == want).all())
+        n_ok += ok
+        if not ok:
+            print(f"SHARD MISMATCH case {i}: B={B} L={L} Q={Q} gap={gap}")
+    print(f"TPU query-shard fuzz: {n_ok}/{n_cases} configs bit-exact")
+    return 0 if n_ok == n_cases else 1
+
+
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:3]]
-    raise SystemExit(main(*args))
+    rc = main(*args)
+    rc |= main_multi()
+    rc |= main_shard()
+    raise SystemExit(rc)
