@@ -83,9 +83,12 @@ class SWConfig:
     # ~1.25x) so a serving fleet compiles O(log) kernel variants instead of
     # one per query length.  Costs <= ~17% padded query rows; scores are
     # unchanged (pad profile rows are score-neutral).  None (default) =
-    # auto: ladder ON for the batched serving path (search_many, where it
-    # also merges queries into shared dispatches), exact padding for
-    # single searches (the benchmark protocol measures exact lengths).
+    # auto: ladder ON for the WAVEFRONT batched serving path
+    # (search_many on TPU, where it also merges queries into shared
+    # dispatches), exact padding for single searches (the benchmark
+    # protocol measures exact lengths).  The XLA search_many path groups
+    # queries by raw length instead (one compile per group max-length) —
+    # set query_ladder=True explicitly to bound that too.
     query_ladder: Optional[bool] = None
 
     # --- parallelism -------------------------------------------------------

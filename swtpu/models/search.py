@@ -105,6 +105,14 @@ class SearchEngine:
 
             self._mesh = make_mesh(config.n_devices, axis=config.mesh_axes[0])
         self._wave_enabled = self._resolve_wave()
+        if config.query_shard and not self._wave_enabled:
+            # Silently falling back to database sharding would ignore an
+            # explicit latency-mode request (the systolic pipeline exists
+            # only on the wavefront kernel).
+            raise ValueError(
+                "query_shard requires the wavefront path: enable use_wave=True "
+                "(with interpret=True on CPU) and score_dtype='int32'"
+            )
         # Residency budget honours the device's ACTUAL free HBM when the
         # runtime exposes it (the reference instead does unchecked ~4 GB
         # fixed allocations, src/SWSolver.cu:276-288).
@@ -364,23 +372,19 @@ class SearchEngine:
             return sat
         return xla_sw.SAT16_MAX if cfg.score_dtype == "int16" else None
 
-    def _packed_step(self):
-        """One jitted function scoring EVERY group of a packed database.
+    def _wave_fn(self, query_axis: bool = False):
+        """Per-stack wavefront callable for this engine's mesh mode.
 
-        A query is then a single dispatch regardless of how many distinct
-        batch shapes the plan has — essential when per-launch latency is
-        tens of ms (remote-attached TPU) and still fewer-launches-better
-        locally.  jax.jit retraces per new stack-shape structure and caches
-        thereafter (one compile per database plan per query-pad length).
+        Single-device: a plain sw_wave call (3-D or 4-D lhsB).  Lane-sharded
+        mesh: the same call under shard_map (subjects sharded on lanes; a
+        query axis, if any, stays replicated — set ``query_axis`` so the
+        output spec shards dim 1 instead of dim 0).  Query-shard mesh: the
+        systolic band pipeline (single-query only).
         """
-        if getattr(self, "_packed_step_fn", None) is not None:
-            return self._packed_step_fn
         cfg = self.config
-        stage_int8 = self._stage_int8
-
         mesh = self._mesh
 
-        def wave_one(lhsB, subjT):
+        def wave_local(lhsB, subjT):
             from ..ops import wave_sw
 
             L2, Bp = subjT.shape
@@ -393,15 +397,17 @@ class SearchEngine:
                 interpret=cfg.interpret,
             )
 
-        if mesh is not None and cfg.query_shard:
+        if mesh is None:
+            return wave_local
+        axis = cfg.mesh_axes[0]
+        if cfg.query_shard:
             # Query-band sharding: bands split across devices, lane tiles
             # pipeline systolically with the kernel's HBM carry over ICI.
             from ..parallel.query_shard import make_wave_query_sharded_step
 
-            axis = cfg.mesh_axes[0]
             n = cfg.n_devices
 
-            def wave_one(lhsB, subjT):  # noqa: F811
+            def wave_qs(lhsB, subjT):
                 from ..ops import wave_sw
 
                 L2, Bp = subjT.shape
@@ -417,28 +423,59 @@ class SearchEngine:
                     interpret=cfg.interpret,
                 )(lhsB, subjT)
 
-        elif mesh is not None:
-            # Lane-sharded wavefront: each device scores its subject shard
-            # with the same Pallas kernel; concat/top-k outside the
-            # shard_map inserts the (tiny) collectives.
-            from jax.sharding import PartitionSpec as P
+            return wave_qs
+        # Lane-sharded wavefront: each device scores its subject shard with
+        # the same Pallas kernel; collectives happen outside the shard_map.
+        from jax.sharding import PartitionSpec as P
 
-            try:
-                from jax import shard_map
-            except ImportError:  # pragma: no cover - older jax
-                from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
 
-            axis = cfg.mesh_axes[0]
-            _wave_local = wave_one
+        out_spec = P(None, axis) if query_axis else P(axis)
 
-            def wave_one(lhsB, subjT):  # noqa: F811
-                return shard_map(
-                    _wave_local,
-                    mesh=mesh,
-                    in_specs=(P(), P(None, axis)),
-                    out_specs=P(axis),
-                    check_vma=False,
-                )(lhsB, subjT)
+        def wave_sharded(lhsB, subjT):
+            return shard_map(
+                wave_local,
+                mesh=mesh,
+                in_specs=(P(), P(None, axis)),
+                out_specs=out_spec,
+                check_vma=False,
+            )(lhsB, subjT)
+
+        return wave_sharded
+
+    def _resident_packed(self, db: Database, plan: Optional[BatchPlan] = None):
+        """Resident-pack resolution shared by search/search_many: the cached
+        device-resident pack for ``db``, or None when it must stream
+        (residency disabled or over the HBM-probed cell budget)."""
+        cached = getattr(self, "_resident", None)
+        if cached is not None and cached[0] is db:
+            return cached[1]
+        if not self.config.device_resident:
+            return None
+        if plan is None:
+            plan = self.plan(db)
+        if plan.total_cells > self._resident_cells:
+            return None
+        self._resident = (db, self.pack_to_device(db, plan))
+        return self._resident[1]
+
+    def _packed_step(self):
+        """One jitted function scoring EVERY group of a packed database.
+
+        A query is then a single dispatch regardless of how many distinct
+        batch shapes the plan has — essential when per-launch latency is
+        tens of ms (remote-attached TPU) and still fewer-launches-better
+        locally.  jax.jit retraces per new stack-shape structure and caches
+        thereafter (one compile per database plan per query-pad length).
+        """
+        if getattr(self, "_packed_step_fn", None) is not None:
+            return self._packed_step_fn
+        cfg = self.config
+        stage_int8 = self._stage_int8
+        wave_one = self._wave_fn()
 
         def step(profile, lhsB, wave_stacks, stacks, seg_inputs, seg_sats):
             outs = []
@@ -514,42 +551,7 @@ class SearchEngine:
         """
         if getattr(self, "_topk_step_fn", None) is not None:
             return self._topk_step_fn
-        cfg = self.config
-
-        mesh = self._mesh
-
-        def wave_one(lhsB, subjT):
-            from ..ops import wave_sw
-
-            L2, Bp = subjT.shape
-            return wave_sw.sw_wave(
-                lhsB,
-                subjT,
-                gap=cfg.gap_penalty,
-                Lc=wave_sw.pick_lc(L2 - wave_sw.W),
-                Bt=wave_sw.pick_bt_div(Bp),
-                interpret=cfg.interpret,
-            )
-
-        if mesh is not None:
-            from jax.sharding import PartitionSpec as P
-
-            try:
-                from jax import shard_map
-            except ImportError:  # pragma: no cover - older jax
-                from jax.experimental.shard_map import shard_map
-
-            axis = cfg.mesh_axes[0]
-            _wave_local = wave_one
-
-            def wave_one(lhsB, subjT):  # noqa: F811
-                return shard_map(
-                    _wave_local,
-                    mesh=mesh,
-                    in_specs=(P(), P(None, axis)),
-                    out_specs=P(axis),
-                    check_vma=False,
-                )(lhsB, subjT)
+        wave_one = self._wave_fn()
 
         def step(lhsB, wave_stacks, k):
             outs = [wave_one(lhsB, subjT) for subjT in wave_stacks]
@@ -559,7 +561,7 @@ class SearchEngine:
         self._topk_step_fn = jax.jit(step, static_argnames=("k",))
         return self._topk_step_fn
 
-    def _device_topk_hits(self, packed: PackedDatabase, lhsB_dev, k: int):
+    def _device_topk_hits(self, packed: PackedDatabase, lhsB_dev, k: int, db: Database):
         """Run the device top-K step and resolve exact (id, score) hits.
 
         Fetches an over-sized candidate set (device top_k tie-breaks by
@@ -578,12 +580,19 @@ class SearchEngine:
         cand_ids = ids_flat[pos]
         keep = cand_ids >= 0  # drop pad lanes (score 0)
         vals, cand_ids = vals[keep], cand_ids[keep]
+        # Zero-length (header-only) records never enter a wave bucket; they
+        # score 0 by definition, so merge them back as candidates — without
+        # this, k-th-score-0 results would silently omit them.
+        zero_ids = np.nonzero(np.asarray(db.lengths) == 0)[0]
+        if zero_ids.size:
+            cand_ids = np.concatenate([cand_ids, zero_ids])
+            vals = np.concatenate([vals, np.zeros(zero_ids.size, vals.dtype)])
         if kk < total:
             # Pad lanes also score 0 and win the device tie-break by flat
             # position, so a candidate set that ran short after dropping
             # them — or whose k-th kept score is 0 — may have displaced
-            # real score-0 sequences; fall back to the full array.
-            if vals.shape[0] < k or vals[k - 1] == 0:
+            # real score-0 IN-BUCKET sequences; fall back to the full array.
+            if vals.shape[0] < k or vals[min(k, vals.shape[0]) - 1] == 0:
                 return None
             if vals.shape[0] > k and vals[k - 1] == vals[-1]:
                 return None  # k-th score ties run off the candidate set
@@ -600,41 +609,7 @@ class SearchEngine:
         """
         if getattr(self, "_wave_many_fn", None) is not None:
             return self._wave_many_fn
-        cfg = self.config
-        mesh = self._mesh
-
-        def wave_multi(lhsB4, subjT):
-            from ..ops import wave_sw
-
-            L2, Bp = subjT.shape
-            return wave_sw.sw_wave(
-                lhsB4,
-                subjT,
-                gap=cfg.gap_penalty,
-                Lc=wave_sw.pick_lc(L2 - wave_sw.W),
-                Bt=wave_sw.pick_bt_div(Bp),
-                interpret=cfg.interpret,
-            )
-
-        if mesh is not None:
-            from jax.sharding import PartitionSpec as P
-
-            try:
-                from jax import shard_map
-            except ImportError:  # pragma: no cover - older jax
-                from jax.experimental.shard_map import shard_map
-
-            axis = cfg.mesh_axes[0]
-            _wave_local = wave_multi
-
-            def wave_multi(lhsB4, subjT):  # noqa: F811
-                return shard_map(
-                    _wave_local,
-                    mesh=mesh,
-                    in_specs=(P(), P(None, axis)),
-                    out_specs=P(None, axis),
-                    check_vma=False,
-                )(lhsB4, subjT)
+        wave_multi = self._wave_fn(query_axis=True)
 
         def step(lhsB4, wave_stacks):
             outs = [wave_multi(lhsB4, subjT) for subjT in wave_stacks]
@@ -738,12 +713,9 @@ class SearchEngine:
             return []
         if self._wave_enabled:
             if packed is None:
-                if not cfg.device_resident or self.plan(db).total_cells > self._resident_cells:
+                packed = self._resident_packed(db)
+                if packed is None:  # oversized / non-resident: stream per query
                     return [self.search(q, db) for q in queries]
-                cached = getattr(self, "_resident", None)
-                if cached is None or cached[0] is not db:
-                    self._resident = (db, self.pack_to_device(db))
-                packed = self._resident[1]
             if cfg.query_shard and self._mesh is not None:
                 # Band-sharded engine: the batched multi-query kernel path
                 # assumes a single query per carry chain.
@@ -756,12 +728,9 @@ class SearchEngine:
             # Honour the residency budget like search(): oversized or
             # explicitly non-resident databases fall back to per-query
             # streaming searches instead of packing HBM anyway.
-            if not cfg.device_resident or self.plan(db).total_cells > self._resident_cells:
+            packed = self._resident_packed(db)
+            if packed is None:
                 return [self.search(q, db) for q in queries]
-            cached = getattr(self, "_resident", None)
-            if cached is None or cached[0] is not db:
-                self._resident = (db, self.pack_to_device(db))
-            packed = self._resident[1]
 
         # Batch only length-compatible queries together (a short query padded
         # to a long one's row count computes pure pad rows), and cap groups
@@ -930,7 +899,7 @@ class SearchEngine:
             and not (cfg.query_shard and self._mesh is not None)
         ):
             t_device = time.perf_counter()
-            hits = self._device_topk_hits(packed, lhsB_dev, cfg.top_k)
+            hits = self._device_topk_hits(packed, lhsB_dev, cfg.top_k, db)
             if hits is not None:
                 device_seconds = time.perf_counter() - t_device
                 metrics = SearchMetrics(
@@ -995,11 +964,9 @@ class SearchEngine:
 
         # Auto-resident fast path: pack the database into HBM once (cached
         # per Database object) and search with stacked dispatches.
-        if cfg.device_resident and plan.total_cells <= self._resident_cells:
-            cached = getattr(self, "_resident", None)
-            if cached is None or cached[0] is not db:
-                self._resident = (db, self.pack_to_device(db, plan))
-            return self.search_packed(query, db, self._resident[1])
+        resident = self._resident_packed(db, plan)
+        if resident is not None:
+            return self.search_packed(query, db, resident)
 
         profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
         profile_dev = jnp.asarray(profile)

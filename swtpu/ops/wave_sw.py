@@ -434,7 +434,13 @@ def sw_wave(
     n_q, n_bands = lhsB.shape[0], lhsB.shape[1]
     L2, B = subjT.shape
     assert L2 % Lc == 0 and B % Bt == 0 and Lc % G == 0 and w % 8 == 0
-    assert top_in is None or n_q == 1, "top_in carry requires a single query"
+    # The carry buffer is shared across the grid's query axis (each query
+    # overwrites it in grid order), so both carry directions are
+    # single-query-only: a multi-query carry would silently reflect only
+    # the LAST query.
+    assert (top_in is None and not return_carry) or n_q == 1, (
+        "top_in / return_carry band-carry hand-off requires a single query"
+    )
     n_tiles = B // Bt
     n_chunks = L2 // Lc
     LT = L2 + w

@@ -139,3 +139,42 @@ def test_sharded_step_exact_by_default():
     scores, top_ids, top_vals = step(profile, subjects)
     assert int(np.asarray(scores)[0]) == 15 * L  # exact, beyond the fast16 ceiling
     assert int(np.asarray(top_vals)[0]) == 15 * L
+
+
+def test_topk_includes_zero_length_records():
+    """Header-only (zero-length) records never enter wave buckets but score
+    0 by definition; device top-K must still report them (review finding)."""
+    seqs = ["ACDEFGHIKL", "", "MNPQRSTVWY"]
+    db = database_from_sequences(seqs)
+    q = _q("ACDEFGHIKLMNPQRSTVWY")
+    res = SearchEngine(SWConfig(use_wave=True, interpret=True, top_k=16)).search(q, db)
+    full = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+    assert res.top_k(3) == full.top_k(3)
+    assert len(res.top_k(3)) == 3  # includes (1, 0)
+    assert (1, 0) in res.top_k(3)
+
+
+def test_multi_query_carry_rejected():
+    """return_carry / top_in are single-query-only: the shared carry buffer
+    would silently reflect only the last query (review finding)."""
+    import jax.numpy as jnp
+    from swtpu.matrices import blosum50_ref
+    from swtpu.ops import wave_sw, xla_sw
+
+    rng = np.random.default_rng(0)
+    m = blosum50_ref()
+    prof = xla_sw.make_profile(rng.integers(0, 25, 30).astype(np.int8), m, pad_rows_to=32)
+    lhs4 = np.stack([wave_sw.build_lhs_banded(prof)] * 2)
+    subjT = wave_sw.transpose_pad(rng.integers(0, 25, (128, 32), dtype=np.int8), 32)
+    with pytest.raises(AssertionError):
+        wave_sw.sw_wave(
+            jnp.asarray(lhs4), jnp.asarray(subjT), gap=2, Lc=64, Bt=128,
+            interpret=True, return_carry=True,
+        )
+
+
+def test_query_shard_requires_wave():
+    """query_shard without the wavefront path must raise, not silently fall
+    back to database sharding (review finding)."""
+    with pytest.raises(ValueError, match="query_shard"):
+        SearchEngine(SWConfig(use_wave=False, mesh_shape=(2,), query_shard=True))
