@@ -34,7 +34,9 @@ WORKER = textwrap.dedent(
 
     db = parse_database(os.environ["SWTPU_DB"])
     q = parse_query(os.environ["SWTPU_QUERY"])
-    eng = D.DistributedSearchEngine(SWConfig(batch_rows=8, length_quantum=8))
+    wave = os.environ.get("SWTPU_WAVE") == "1"
+    cfg = SWConfig(batch_rows=8, length_quantum=8, use_wave=wave, interpret=wave)
+    eng = D.DistributedSearchEngine(cfg)
     shard, base = eng.shard_of(db)
     res = eng.search(q, shard, base, top_k=5)
     print("RESULT " + json.dumps({"pid": pid, "hits": res.hits,
@@ -52,10 +54,14 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.parametrize("nproc,n_seqs", [(2, 30), (3, 31)])
-def test_multi_process_distributed_search(tmp_path, nproc, n_seqs):
-    """2 processes (even shards) and 3 processes (odd count: uneven
-    shard_range split, VERDICT round-1 item 7)."""
+@pytest.mark.parametrize(
+    "nproc,n_seqs,wave",
+    [(2, 30, False), (3, 31, False), (2, 24, True)],
+)
+def test_multi_process_distributed_search(tmp_path, nproc, n_seqs, wave):
+    """2 processes (even shards), 3 processes (odd count: uneven
+    shard_range split, VERDICT round-1 item 7), and the wavefront kernel
+    (interpret) as the per-host engine."""
     from swtpu.config import SWConfig
     from swtpu.io.fasta import parse_database, parse_query, write_fasta
     from swtpu.models.search import SearchEngine
@@ -77,6 +83,7 @@ def test_multi_process_distributed_search(tmp_path, nproc, n_seqs):
         "JAX_PLATFORMS": "cpu",
         # keep the two CPU processes from spin-fighting for every core
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        **({"SWTPU_WAVE": "1"} if wave else {}),
     }
     procs = [
         subprocess.Popen(
@@ -114,7 +121,7 @@ def test_multi_process_distributed_search(tmp_path, nproc, n_seqs):
         assert len(sizes) > 1
 
     # And it matches the single-process engine.
-    eng = SearchEngine(SWConfig(batch_rows=8, length_quantum=8))
+    eng = SearchEngine(SWConfig(batch_rows=8, length_quantum=8, use_wave=wave, interpret=wave))
     res = eng.search(parse_query(q_path), parse_database(db_path))
     want = [[int(i), int(s)] for i, s in res.top_k(5)]
     assert results[0]["hits"] == want
