@@ -312,7 +312,7 @@ class WaveGroup:
 def pack_database_wave(
     db: Database, device_put=None, max_rows: int = 1 << 20, lane_multiple: int = 1
 ) -> Tuple:
-    """Pack a database into wavefront buckets (one per ladder width).
+    """Pack a database into wavefront buckets (one per merged ladder rung).
 
     Zero-length records never enter a bucket (they score 0 by definition).
     Buckets larger than max_rows split, so the carry buffer stays bounded.
@@ -320,15 +320,30 @@ def pack_database_wave(
     count to bt * lane_multiple so a shard_map split leaves every shard a
     whole number of lane tiles.
     """
+    return tuple(
+        pack_wave_group(db, width, ids, bt, bpad, device_put=device_put)
+        for width, ids, bt, bpad in plan_wave_buckets(db, max_rows, lane_multiple)
+    )
+
+
+def plan_wave_buckets(
+    db: Database, max_rows: int = 1 << 20, lane_multiple: int = 1
+) -> List[Tuple[int, np.ndarray, int, int]]:
+    """Plan wavefront buckets without materialising them.
+
+    Returns [(width, ids, bt, padded lane count)] — the shared planner
+    behind :func:`pack_database_wave` (resident) and
+    :func:`iter_wave_groups` (streaming).
+    """
     from ..ops import wave_sw
 
     lengths = np.asarray(db.lengths, dtype=np.int64)
     n = int(lengths.shape[0])
     if n == 0:
-        return ()
+        return []
     pos = lengths > 0
     if not pos.any():
-        return ()
+        return []
     edges = np.array(wave_width_edges(int(lengths.max())), dtype=np.int64)
     which = np.searchsorted(edges, lengths[pos])
     idx_pos = np.nonzero(pos)[0]
@@ -376,36 +391,51 @@ def pack_database_wave(
         ids_merged = np.concatenate([idx_pos[which == e] for e in occ[i:j]])
         rung_list.append((int(edges[occ[j - 1]]), ids_merged))
         j = i
-    groups = []
+    buckets: List[Tuple[int, np.ndarray, int, int]] = []
     for width, ids_all in sorted(rung_list):
         for s in range(0, ids_all.shape[0], max_rows):
             ids = ids_all[s : s + max_rows]
             # Adaptive lane quantum: trade pad lanes against lane-tile
             # speed with the measured BT_SPEED model.
             bt, bpad = wave_sw.pick_lanes(ids.shape[0], lane_multiple)
-            l2 = width + wave_sw.W
-            stack = None
-            if db.residues.shape[0]:
-                from .. import native
+            buckets.append((width, ids, bt, bpad))
+    return buckets
 
-                stack = native.pack_bucket_T_native(
-                    db.residues, db.offsets, ids.astype(np.int32), l2, bpad, PAD_SUBJECT
-                )
-            if stack is None:  # NumPy fallback: row-major gather + transpose
-                flat = pack_batch(db, Batch(ids=ids.astype(np.int32), rows=bpad, width=width))
-                stack = wave_sw.transpose_pad(flat, width)
-            full_ids = np.full(bpad, -1, dtype=np.int64)
-            full_ids[: ids.shape[0]] = ids
-            groups.append(
-                WaveGroup(
-                    width=width,
-                    lc=wave_sw.pick_lc(width),
-                    bt=bt,
-                    stack=device_put(stack) if device_put is not None else stack,
-                    ids=full_ids,
-                )
-            )
-    return tuple(groups)
+
+def pack_wave_group(db: Database, width: int, ids: np.ndarray, bt: int, bpad: int, device_put=None) -> WaveGroup:
+    """Materialise one wavefront bucket (transposed int8 stack + id map)."""
+    from ..ops import wave_sw
+
+    l2 = width + wave_sw.W
+    stack = None
+    if db.residues.shape[0]:
+        from .. import native
+
+        stack = native.pack_bucket_T_native(
+            db.residues, db.offsets, ids.astype(np.int32), l2, bpad, PAD_SUBJECT
+        )
+    if stack is None:  # NumPy fallback: row-major gather + transpose
+        flat = pack_batch(db, Batch(ids=ids.astype(np.int32), rows=bpad, width=width))
+        stack = wave_sw.transpose_pad(flat, width)
+    full_ids = np.full(bpad, -1, dtype=np.int64)
+    full_ids[: ids.shape[0]] = ids
+    return WaveGroup(
+        width=width,
+        lc=wave_sw.pick_lc(width),
+        bt=bt,
+        stack=device_put(stack) if device_put is not None else stack,
+        ids=full_ids,
+    )
+
+
+def iter_wave_groups(db: Database, max_rows: int = 1 << 20, lane_multiple: int = 1):
+    """Yield host-resident WaveGroups ONE at a time (bounded memory).
+
+    The streaming analogue of :func:`pack_database_wave` for databases too
+    large to keep resident: callers upload/score/discard each bucket.
+    """
+    for width, ids, bt, bpad in plan_wave_buckets(db, max_rows, lane_multiple):
+        yield pack_wave_group(db, width, ids, bt, bpad)
 
 
 def scatter_scores(plan: BatchPlan, per_batch_scores: Sequence[np.ndarray]) -> np.ndarray:

@@ -86,3 +86,18 @@ def test_search_many_wave_mesh_matches_single():
     ref = SearchEngine(SWConfig(use_wave=True, interpret=True))
     for q, res in zip(queries, many):
         np.testing.assert_array_equal(res.scores, ref.search(q, db).scores)
+
+
+def test_search_many_wave_streaming_matches_resident():
+    """Non-resident (streaming) batched serving: buckets upload once per
+    BATCH, not once per query — scores identical to the resident path."""
+    seqs = [_rand_seq(int(RNG.integers(10, 250))) for _ in range(40)]
+    db = database_from_sequences(seqs)
+    queries = [_q(_rand_seq(n)) for n in (24, 30, 28, 90)]
+    resident = SearchEngine(SWConfig(use_wave=True, interpret=True)).search_many(queries, db)
+    streaming = SearchEngine(
+        SWConfig(use_wave=True, interpret=True, device_resident=False)
+    ).search_many(queries, db)
+    for r, s in zip(resident, streaming):
+        np.testing.assert_array_equal(r.scores, s.scores)
+        assert s.metrics.device_seconds > 0
