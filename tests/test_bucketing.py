@@ -80,3 +80,51 @@ def test_plan_rows_divisible_by_min_rows():
         plan = plan_batches(lengths, min_rows=n)
         for b in plan.batches:
             assert b.rows % n == 0, (b.rows, n)
+
+
+def test_plan_wave_buckets_and_iter_groups():
+    """Planner/packer split: plan covers every positive-length id exactly
+    once, respects max_rows, and iter_wave_groups matches pack_database_wave."""
+    import numpy as np
+
+    from swtpu.io.fasta import database_from_sequences
+    from swtpu.utils.bucketing import (
+        iter_wave_groups,
+        pack_database_wave,
+        plan_wave_buckets,
+    )
+
+    rng = np.random.default_rng(5)
+    seqs = ["".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, int(n)))
+            for n in rng.integers(1, 400, 300)]
+    seqs[7] = ""  # zero-length record: must not enter any bucket
+    db = database_from_sequences(seqs)
+
+    buckets = plan_wave_buckets(db, max_rows=128)
+    all_ids = np.concatenate([ids for _, ids, _, _ in buckets])
+    expect = np.nonzero(db.lengths > 0)[0]
+    assert sorted(all_ids.tolist()) == sorted(expect.tolist())
+    for width, ids, bt, bpad in buckets:
+        assert ids.shape[0] <= 128  # max_rows respected
+        assert bpad % bt == 0 and bpad >= ids.shape[0]
+        assert (db.lengths[ids] <= width).all()
+
+    a = pack_database_wave(db, max_rows=128)
+    b = list(iter_wave_groups(db, max_rows=128))
+    assert len(a) == len(b)
+    for ga, gb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ga.stack), gb.stack)
+        np.testing.assert_array_equal(ga.ids, gb.ids)
+
+
+def test_pick_lanes_properties():
+    """pick_lanes: padded count covers n, divides by the tile, and never
+    wastes more than the coarsest quantum."""
+    from swtpu.ops.wave_sw import pick_lanes
+
+    for n in (1, 100, 300, 512, 700, 1400, 4097):
+        for lm in (1, 2, 8):
+            bt, bpad = pick_lanes(n, lm)
+            assert bpad >= n
+            assert bpad % (bt * lm) == 0
+            assert bpad - n < 512 * lm  # never worse than the 512 quantum
