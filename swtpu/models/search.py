@@ -401,6 +401,13 @@ class SearchEngine:
             return wave_local
         axis = cfg.mesh_axes[0]
         if cfg.query_shard:
+            if query_axis:
+                # The systolic pipeline is single-query (one carry chain);
+                # fail loudly rather than misread a 4-D lhsB's query axis
+                # as band count.
+                raise RuntimeError(
+                    "multi-query band batching is unavailable under query_shard"
+                )
             # Query-band sharding: bands split across devices, lane tiles
             # pipeline systolically with the kernel's HBM carry over ICI.
             from ..parallel.query_shard import make_wave_query_sharded_step
@@ -618,14 +625,17 @@ class SearchEngine:
         self._wave_many_fn = jax.jit(step)
         return self._wave_many_fn
 
-    def _query_pieces(self, queries: List[Query]):
+    def _query_pieces(self, queries: List[Query], serving: bool = True):
         """Group queries by padded band count and cut binary-size pieces
-        (<=16): O(log) compiled Q shapes per band count, no pad queries."""
+        (<=16): O(log) compiled Q shapes per band count, no pad queries.
+
+        ``serving=False`` keeps exact (quantum-only) query padding — the
+        query_ladder=None contract for single searches."""
         from ..ops import wave_sw
 
         by_qpad: dict = {}
         for i, q in enumerate(queries):
-            qpad = self._query_pad(q.length, wave_sw.W, serving=True)
+            qpad = self._query_pad(q.length, wave_sw.W, serving=serving)
             by_qpad.setdefault(qpad, []).append(i)
         pieces = []
         for qpad, idxs in by_qpad.items():
@@ -657,56 +667,75 @@ class SearchEngine:
         return jax.device_put(lhs, NamedSharding(self._mesh, P()))
 
     def _search_many_wave_streaming(
-        self, queries: List[Query], db: Database
+        self, queries: List[Query], db: Database, serving: bool = True
     ) -> List[SearchResult]:
         """Batched serving for databases too large to keep resident: stream
         ONE wave bucket at a time and score EVERY query against it, so each
         host->device bucket transfer amortises across the whole batch
         (per-query streaming would re-upload the database Q times — the
         reference's per-search repacking loop, src/SWSolver.cu:309-359,
-        multiplied by Q).
+        multiplied by Q).  At most two buckets are in flight at once, so
+        device memory stays at ~2 buckets — the point of streaming.
         """
-        from ..utils.bucketing import iter_wave_groups
+        from ..utils.bucketing import pack_wave_group, plan_wave_buckets
 
         cfg = self.config
+        from ..ops import wave_sw
+
         t_start = time.perf_counter()
-        pieces = self._query_pieces(queries)
-        lhs_dev = {id(p): self._piece_lhs(queries, qpad, p) for qpad, p in pieces}
+        pieces = [
+            (qpad, piece, self._piece_lhs(queries, qpad, piece))
+            for qpad, piece in self._query_pieces(queries, serving=serving)
+        ]
+        qpad_of = {i: qpad for qpad, piece, _ in pieces for i in piece}
         step = self._wave_many_step()
+        buckets = plan_wave_buckets(db, lane_multiple=cfg.n_devices)
+        padded_total = sum(bpad * (width + wave_sw.W) for width, _, _, bpad in buckets)
 
         scores = [np.zeros(db.n, dtype=np.int32) for _ in queries]
-        pending: List[Tuple[List[int], object, object]] = []  # (piece, ids, future)
+        inflight: List[Tuple[np.ndarray, List[Tuple[List[int], object]]]] = []
+
+        def drain(entry):
+            ids, futs = entry
+            valid = ids >= 0
+            for piece, fut in futs:
+                flat = np.asarray(fut)  # (Q, bpad)
+                for row, qi in enumerate(piece):
+                    scores[qi][ids[valid]] = flat[row][valid]
+
         t_device = time.perf_counter()
+        pack_time = 0.0
         try:
-            for group in iter_wave_groups(db, lane_multiple=cfg.n_devices):
-                subj_dev = self._device_put(group.stack) if self._mesh is None else None
-                if subj_dev is None:  # mesh: lane-shard the streamed bucket
+            for width, ids, bt, bpad in buckets:
+                t0 = time.perf_counter()
+                group = pack_wave_group(db, width, ids, bt, bpad)
+                pack_time += time.perf_counter() - t0
+                if self._mesh is None:
+                    subj_dev = jnp.asarray(group.stack)
+                else:  # mesh: lane-shard the streamed bucket
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
                     subj_dev = jax.device_put(
                         group.stack, NamedSharding(self._mesh, P(None, cfg.mesh_axes[0]))
                     )
-                for qpad, piece in pieces:
-                    pending.append(
-                        (piece, group.ids, step(lhs_dev[id(piece)], (subj_dev,)))
-                    )
-            for piece, ids, fut in pending:
-                flat = np.asarray(fut)  # (Q, bpad)
-                valid = ids >= 0
-                for row, qi in enumerate(piece):
-                    scores[qi][ids[valid]] = flat[row][valid]
+                inflight.append(
+                    (group.ids, [(piece, step(lhs, (subj_dev,))) for _, piece, lhs in pieces])
+                )
+                if len(inflight) > 2:  # bound device residency to ~2 buckets
+                    drain(inflight.pop(0))
+            while inflight:
+                drain(inflight.pop(0))
         except Exception as e:
             from ..utils.memory import reraise_oom
 
             reraise_oom(e, f"streaming wave buckets for {len(queries)} queries")
-        device_seconds = time.perf_counter() - t_device
+        device_seconds = time.perf_counter() - t_device - pack_time
         wall = time.perf_counter() - t_start
 
         total_true = sum(q.length for q in queries) * max(db.length_sum, 1)
         results = []
         for i, q in enumerate(queries):
             share = (q.length * db.length_sum) / max(total_true, 1)
-            qpad = self._query_pad(q.length, 32, serving=True)
             results.append(
                 SearchResult(
                     scores=scores[i],
@@ -715,9 +744,10 @@ class SearchEngine:
                         n_subjects=db.n,
                         residue_sum=db.length_sum,
                         padded8_sum=db.padded_length_sum(8),
-                        packed_cells=qpad * db.length_sum,
+                        packed_cells=qpad_of[i] * padded_total,
                         wall_seconds=wall * share,
                         device_seconds=max(device_seconds * share, 1e-12),
+                        phases={"pack_and_put": pack_time * share},
                     ),
                 )
             )
@@ -1051,7 +1081,9 @@ class SearchEngine:
         # instead of the XLA ladder's hundreds of per-batch dispatches —
         # measured ~60x faster on the remote-attached chip.
         if self._wave_enabled and not (cfg.query_shard and self._mesh is not None):
-            return self._search_many_wave_streaming([query], db)[0]
+            # serving=False: exact query padding (query_ladder=None contract
+            # for single searches).
+            return self._search_many_wave_streaming([query], db, serving=False)[0]
 
         profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=cfg.query_strip)
         profile_dev = jnp.asarray(profile)
