@@ -8,7 +8,9 @@ the DP has no data-dependent control flow — only the length distribution
 matters, which is sampled to match SwissProt (lognormal, median ~290 aa).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = device GCUPS (true cells / device seconds) for the mid-length query.
+value = device GCUPS (true cells / device seconds) for the mid-length query
+P01008 (the reference's golden-test query) at full SwissProt scale
+(559,228 sequences, the reference's own workload size).
 vs_baseline divides by 17 GCUPS — a published single-GPU CUDA
 Smith-Waterman anchor (CUDASW++ 2.0 class; the reference repo itself
 publishes no numbers, BASELINE.md).
@@ -60,7 +62,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small db, 1 query")
     ap.add_argument("--full", action="store_true", help="all 17 reference query lengths")
-    ap.add_argument("--db-size", type=int, default=60000)
+    ap.add_argument("--db-size", type=int, default=559228,
+                    help="number of DB sequences (default: SwissProt scale, "
+                         "matching the reference Performance suite's 559,228)")
     ap.add_argument("--pallas", action="store_true", help="force the Pallas kernel (default: XLA fast16 path)")
     ap.add_argument("--batched", action="store_true", help="score all queries in ONE vmapped dispatch (search_many)")
     ap.add_argument("--only", default=None, help="comma-separated query names (subset of the sweep)")
