@@ -166,10 +166,10 @@ def _wave_kernel(
     # sk_ref (Lc, w, Bt) int8 scratch — fully skewed (step-ordered) scores
     # tcw_ref (Lc+8, Bt) int32 scratch — top-carry window, cols [t0-8, t0+Lc)
     # brow_ref (Lc, Bt) int32 scratch — bottom rows, cols [t0-w, t0+Lc-w)
-    # lastb_ref (1, Bt) int32 scratch — previous step's bottom value
+    # lastb_ref (1, Bt) int32 scratch — bottom of the chunk's LAST column
     # zero_ref (w, Bt) int32 scratch — zero block for the carry tail
     # tail_ref (w, Bt) int8 scratch — previous chunk's last w subject cols
-    # d_ref (2, w, Bt) int32 scratch — D1/D2 carry across chunks
+    # d_ref (2, w, Bt) int32 scratch — H / shifted-H carry across chunks
     # sems DMA semaphores (4,)
     gap: int,
     Lc: int,
@@ -257,15 +257,28 @@ def _wave_kernel(
         lastb_ref[:] = jnp.zeros_like(lastb_ref)
 
     # ---- one-hot over columns [t0-w, t0+Lc): lookback tail + this chunk
-    # (int32 iota: Mosaic supports only 16/32-bit iota)
-    aid_t = jax.lax.broadcasted_iota(jnp.int32, (w, A32, Bt), 1)
-    tail = jnp.where(chunk == 0, jnp.full((w, Bt), PAD_SUBJECT, jnp.int8), tail_ref[:])
-    oh_t = (tail.astype(jnp.int32)[:, None, :] == aid_t).astype(jnp.int8)
-    oh_ref[0 : w * A32, :] = oh_t.reshape(w * A32, Bt)
-    aid_c = jax.lax.broadcasted_iota(jnp.int32, (Lc, A32, Bt), 1)
-    oh_c = (subj_ref[:].astype(jnp.int32)[:, None, :] == aid_c).astype(jnp.int8)
-    oh_ref[w * A32 : (Lc + w) * A32, :] = oh_c.reshape(Lc * A32, Bt)
-    tail_ref[:] = subj_ref[pl.ds(Lc - w, w), :]
+    # (int32 iota: Mosaic supports only 16/32-bit iota).  The one-hot
+    # depends only on (tile, chunk): with a single chunk per band, every
+    # program of a tile shares one subject chunk, so the build runs once at
+    # qb == 0 and all later bands/queries reuse the scratch — the VPU build
+    # cost amortises away exactly where it matters (most buckets are
+    # single-chunk at SwissProt lengths).
+    def _build_onehot():
+        aid_t = jax.lax.broadcasted_iota(jnp.int32, (w, A32, Bt), 1)
+        tail = jnp.where(
+            chunk == 0, jnp.full((w, Bt), PAD_SUBJECT, jnp.int8), tail_ref[:]
+        )
+        oh_t = (tail.astype(jnp.int32)[:, None, :] == aid_t).astype(jnp.int8)
+        oh_ref[0 : w * A32, :] = oh_t.reshape(w * A32, Bt)
+        aid_c = jax.lax.broadcasted_iota(jnp.int32, (Lc, A32, Bt), 1)
+        oh_c = (subj_ref[:].astype(jnp.int32)[:, None, :] == aid_c).astype(jnp.int8)
+        oh_ref[w * A32 : (Lc + w) * A32, :] = oh_c.reshape(Lc * A32, Bt)
+        tail_ref[:] = subj_ref[pl.ds(Lc - w, w), :]
+
+    if n_chunks == 1:
+        pl.when(qb == 0)(_build_onehot)
+    else:
+        _build_onehot()
 
     # ---- staging matmuls with the mod-8 skew baked into the banded lhs:
     # the group at base tlb covers sp rows [LOOKB+tlb, LOOKB+tlb+G) = scores
@@ -319,36 +332,58 @@ def _wave_kernel(
 
     # ---- wavefront DP over Lc steps: cell (r, j=t-r) reads
     # diag = H(r-1, j-1) [wave t-2, shifted], up = H(r-1, j) [wave t-1,
-    # shifted], left = H(r, j-1) [wave t-1].
+    # shifted], left = H(r, j-1) [wave t-1].  The shifted wave t-2
+    # (diag) equals the PREVIOUS step's shifted wave t-1:
+    # d2s(t) = concat(top[t-1], d1(t-1)[:w-1]) = d1s(t-1) — so it is
+    # carried, not recomputed, removing one sublane shift from the
+    # step's dependent chain (and d1s_prev + s has a full step of
+    # schedule slack).  The bottom row of column t0+tloc+1-w writes
+    # straight to brow[tloc+1] (one row-op per step; brow[0] is seeded
+    # from the previous chunk's last column below).
     def step(tloc, carry):
-        d1, d2, best, top_tm1 = carry
+        d1, d1s_prev, best = carry
         s = sk_ref[tloc].astype(jnp.int32)  # (w, Bt)
         top_t = tcw_ref[pl.ds(tloc + 8, 1), :]  # H_top[t] (1, Bt)
-        d2s = jnp.concatenate([top_tm1, d2[: w - 1, :]], axis=0)
         d1s = jnp.concatenate([top_t, d1[: w - 1, :]], axis=0)
-        h = jnp.maximum(d2s + s, jnp.maximum(d1s, d1) - gap)
+        h = jnp.maximum(d1s_prev + s, jnp.maximum(d1s, d1) - gap)
         h = jnp.maximum(h, 0)
         best = jnp.maximum(best, h)
-        # Stash the PREVIOUS step's bottom value: brow[tloc] holds the
-        # bottom H of column t0 + tloc - w, keeping the write window
-        # 8-aligned ([t0, t0+Lc) in HBM rows).
-        brow_ref[pl.ds(tloc, 1), :] = lastb_ref[:]
-        lastb_ref[:] = h[w - 1 : w, :]
-        return h, d1, best, top_t
+        return h, d1s, best
 
+    # brow[0] = bottom H of column t0 - w (previous chunk's last column,
+    # zero at chunk 0 via _init_d) — written after _wait_prev_brow so the
+    # deferred DMA cannot read a torn row.
+    brow_ref[pl.ds(0, 1), :] = lastb_ref[:]
     best0 = out_ref[0, 0]
-    top0 = tcw_ref[pl.ds(7, 1), :]
-    carry = (d_ref[1], d_ref[0], best0, top0)
+    carry = (d_ref[1], d_ref[0], best0)
     if unroll:
         # Fully unrolled (Lc <= 256 by construction): a lax.fori_loop here
         # costs ~20% end-to-end in per-iteration loop overhead (measured
         # 107 -> 131 GCUPS padded at 4096x512x512 from unrolling alone).
         for tloc in range(Lc):
             carry = step(tloc, carry)
+            if tloc < Lc - 1:
+                brow_ref[pl.ds(tloc + 1, 1), :] = carry[0][w - 1 : w, :]
+            else:
+                lastb_ref[:] = carry[0][w - 1 : w, :]
     else:  # interpret mode: a rolled loop keeps CPU-test tracing tractable
-        carry = jax.lax.fori_loop(0, Lc, step, carry)
-    d1, d2, best, _ = carry
-    d_ref[0] = d2
+
+        def step_rolled(tloc, carry):
+            carry = step(tloc, carry)
+
+            @pl.when(tloc < Lc - 1)
+            def _brow():
+                brow_ref[pl.ds(tloc + 1, 1), :] = carry[0][w - 1 : w, :]
+
+            @pl.when(tloc == Lc - 1)
+            def _lastb():
+                lastb_ref[:] = carry[0][w - 1 : w, :]
+
+            return carry
+
+        carry = jax.lax.fori_loop(0, Lc, step_rolled, carry)
+    d1, d1s_last, best = carry
+    d_ref[0] = d1s_last
     d_ref[1] = d1
     out_ref[0, 0] = best
 
