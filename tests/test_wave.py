@@ -67,6 +67,40 @@ def test_wave_edge_cases():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_wave_onehot_reuse_multitile_multiquery():
+    """Single-chunk buckets build the one-hot once per lane tile (qb == 0)
+    and reuse it for every later band/query — cover the reuse across a
+    4-D multi-query band axis AND the rebuild at a tile boundary
+    (n_tiles = 2), which the engine-level tests don't pin down."""
+    rng = np.random.default_rng(11)
+    m = blosum50_ref()
+    subj = _random_bucket(rng, 256, 96)  # width 96 -> L2 = 128, n_chunks = 1
+    subjT = jnp.asarray(wave_sw.transpose_pad(subj, 96))
+    queries = [rng.integers(0, 25, 70).astype(np.int8) for _ in range(3)]
+    lhsB = jnp.stack(
+        [
+            jnp.asarray(
+                wave_sw.build_lhs_banded(xla_sw.make_profile(q, m, pad_rows_to=wave_sw.W))
+            )
+            for q in queries
+        ]
+    )
+    got = np.asarray(
+        wave_sw.sw_wave(lhsB, subjT, gap=2, Lc=128, Bt=128, interpret=True)
+    )
+    assert got.shape == (3, 256)
+    for qi, q in enumerate(queries):
+        ref = np.asarray(
+            xla_sw.sw_score_bucket(
+                jnp.asarray(xla_sw.make_profile(q, m, pad_rows_to=32)),
+                jnp.asarray(subj),
+                gap=2,
+                strip=32,
+            )
+        )
+        np.testing.assert_array_equal(got[qi], ref)
+
+
 def test_wave_gap_penalty_variants():
     rng = np.random.default_rng(3)
     m = blosum50_ref()
