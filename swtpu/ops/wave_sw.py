@@ -103,6 +103,39 @@ def pick_bt_div(n_rows: int, w: int = W) -> int:
 # per-program fixed costs but allow finer lane padding.
 BT_SPEED = {512: 1.0, 256: 0.96, 128: 0.88}
 
+# VMEM budget (bytes) for deciding whether the one-hot scratch can cover
+# the whole tile width (hoist) instead of one chunk: v5e has ~16 MiB of
+# VMEM and the known-good Lc=256/Bt=512 non-hoisted config sits at ~15 MB,
+# so the hoisted layout keeps a little extra margin.
+_VMEM_HOIST_BUDGET = 14.5 * 2**20
+
+
+def _should_hoist(L2: int, Lc: int, Bt: int, w: int, n_qb: int) -> bool:
+    """Hoist the one-hot across the band/query grid axis when it fits.
+
+    Single-chunk buckets hoist for free (the hoisted buffer IS the
+    per-chunk one); multi-chunk buckets hoist when the full-width buffer
+    plus the other scratch stays inside the VMEM budget and there is more
+    than one (query, band) to amortise the build over.
+    """
+    if L2 == Lc:
+        return True
+    if n_qb <= 1:
+        return False
+    scratch = (
+        (L2 + w + 1) * A32 * Bt  # oh (hoisted)
+        + (Lc + w - 8) * w * Bt  # sp
+        + Lc * w * Bt  # sk
+        + (Lc + 8) * Bt * 4  # tcw
+        + Lc * Bt * 4  # brow
+        + w * Bt * 4  # zero
+        + w * Bt  # tail
+        + 2 * w * Bt * 4  # d
+        + 2 * (G * w * KPAD + Lc * Bt)  # double-buffered input blocks
+        + 2 * w * Bt * 4  # double-buffered out block
+    )
+    return scratch <= _VMEM_HOIST_BUDGET
+
 
 def pick_lanes(n_rows: int, lane_multiple: int = 1, w: int = W):
     """(Bt, padded lane count) maximising TRUE-cell throughput for a bucket.
@@ -162,6 +195,7 @@ def _wave_kernel(
     # out_ref (1, 1, w, Bt) int32 — per-(tile, query) best accumulator
     # tc_ref HBM (n_tiles, LT, Bt) int32 — band bottom-row carry
     # oh_ref ((Lc+w+1)*32, Bt) int8 scratch — one-hot incl. w-col lookback
+    #   — or ((L2+w+1)*32, Bt) covering the whole tile width when hoisted
     # sp_ref (Lc+w-8, w, Bt) int8 scratch — mod-8-skewed staged scores
     # sk_ref (Lc, w, Bt) int8 scratch — fully skewed (step-ordered) scores
     # tcw_ref (Lc+8, Bt) int32 scratch — top-carry window, cols [t0-8, t0+Lc)
@@ -177,6 +211,7 @@ def _wave_kernel(
     n_bands: int,
     has_top_in: bool = False,
     unroll: bool = True,
+    hoist_oh: bool = False,
 ):
     if has_top_in:
         tcin_ref, *refs = refs
@@ -258,24 +293,37 @@ def _wave_kernel(
 
     # ---- one-hot over columns [t0-w, t0+Lc): lookback tail + this chunk
     # (int32 iota: Mosaic supports only 16/32-bit iota).  The one-hot
-    # depends only on (tile, chunk): with a single chunk per band, every
-    # program of a tile shares one subject chunk, so the build runs once at
-    # qb == 0 and all later bands/queries reuse the scratch — the VPU build
-    # cost amortises away exactly where it matters (most buckets are
-    # single-chunk at SwissProt lengths).
+    # depends only on (tile, chunk), never on the band or query, so when
+    # the whole tile width fits in a VMEM scratch (hoist_oh — always true
+    # for single-chunk buckets, where the hoisted buffer IS the per-chunk
+    # one) each chunk program builds its slice once at qb == 0 and every
+    # later band/query reuses it, amortising the VPU build cost across the
+    # band-grid axis.
+    oh0 = chunk * (Lc * A32) if hoist_oh and n_chunks > 1 else 0
+
     def _build_onehot():
-        aid_t = jax.lax.broadcasted_iota(jnp.int32, (w, A32, Bt), 1)
-        tail = jnp.where(
-            chunk == 0, jnp.full((w, Bt), PAD_SUBJECT, jnp.int8), tail_ref[:]
-        )
-        oh_t = (tail.astype(jnp.int32)[:, None, :] == aid_t).astype(jnp.int8)
-        oh_ref[0 : w * A32, :] = oh_t.reshape(w * A32, Bt)
+        if hoist_oh:
+
+            @pl.when(chunk == 0)
+            def _build_pad_head():
+                aid_t = jax.lax.broadcasted_iota(jnp.int32, (w, A32, Bt), 1)
+                pad = jnp.full((w, Bt), PAD_SUBJECT, jnp.int32)
+                oh_t = (pad[:, None, :] == aid_t).astype(jnp.int8)
+                oh_ref[0 : w * A32, :] = oh_t.reshape(w * A32, Bt)
+
+        else:
+            aid_t = jax.lax.broadcasted_iota(jnp.int32, (w, A32, Bt), 1)
+            tail = jnp.where(
+                chunk == 0, jnp.full((w, Bt), PAD_SUBJECT, jnp.int8), tail_ref[:]
+            )
+            oh_t = (tail.astype(jnp.int32)[:, None, :] == aid_t).astype(jnp.int8)
+            oh_ref[0 : w * A32, :] = oh_t.reshape(w * A32, Bt)
+            tail_ref[:] = subj_ref[pl.ds(Lc - w, w), :]
         aid_c = jax.lax.broadcasted_iota(jnp.int32, (Lc, A32, Bt), 1)
         oh_c = (subj_ref[:].astype(jnp.int32)[:, None, :] == aid_c).astype(jnp.int8)
-        oh_ref[w * A32 : (Lc + w) * A32, :] = oh_c.reshape(Lc * A32, Bt)
-        tail_ref[:] = subj_ref[pl.ds(Lc - w, w), :]
+        oh_ref[pl.ds(oh0 + w * A32, Lc * A32), :] = oh_c.reshape(Lc * A32, Bt)
 
-    if n_chunks == 1:
+    if hoist_oh:
         pl.when(qb == 0)(_build_onehot)
     else:
         _build_onehot()
@@ -289,7 +337,7 @@ def _wave_kernel(
         tlb = g0 * G - LOOKB
         sm = jax.lax.dot_general(
             lhs,
-            oh_ref[pl.ds((tlb + LOOKB + 1) * A32, KPAD), :],
+            oh_ref[pl.ds(oh0 + (tlb + LOOKB + 1) * A32, KPAD), :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (G*w, Bt)
@@ -479,6 +527,7 @@ def sw_wave(
     n_tiles = B // Bt
     n_chunks = L2 // Lc
     LT = L2 + w
+    hoist_oh = _should_hoist(L2, Lc, Bt, w, n_q * n_bands)
     kern = functools.partial(
         _wave_kernel,
         gap=gap,
@@ -487,6 +536,7 @@ def sw_wave(
         n_bands=n_bands,
         has_top_in=top_in is not None,
         unroll=not interpret,
+        hoist_oh=hoist_oh,
     )
     in_specs = [
         pl.BlockSpec(
@@ -516,7 +566,7 @@ def sw_wave(
             jax.ShapeDtypeStruct((n_tiles, LT, Bt), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM(((Lc + w + 1) * A32, Bt), jnp.int8),
+            pltpu.VMEM((((L2 if hoist_oh else Lc) + w + 1) * A32, Bt), jnp.int8),
             pltpu.VMEM((Lc + w - 8, w, Bt), jnp.int8),
             pltpu.VMEM((Lc, w, Bt), jnp.int8),
             pltpu.VMEM((Lc + 8, Bt), jnp.int32),

@@ -146,25 +146,26 @@ def _kernel(
                 ).wait()
 
     def step(tloc, carry):
-        d1, d2, best, top_tm1 = carry
+        d1, d1s_prev, best = carry
         s = sk_ref[tloc].astype(jnp.int32)
         top_t = tcw_ref[pl.ds(tloc + 8, 1), :]
-        d2s = jnp.concatenate([top_tm1, d2[: w - 1, :]], axis=0)
         d1s = jnp.concatenate([top_t, d1[: w - 1, :]], axis=0)
-        h = jnp.maximum(d2s + s, jnp.maximum(d1s, d1) - gap)
+        h = jnp.maximum(d1s_prev + s, jnp.maximum(d1s, d1) - gap)
         h = jnp.maximum(h, 0)
         best = jnp.maximum(best, h)
-        brow_ref[pl.ds(tloc, 1), :] = lastb_ref[:]
-        lastb_ref[:] = h[w - 1 : w, :]
-        return h, d1, best, top_t
+        return h, d1s, best
 
+    brow_ref[pl.ds(0, 1), :] = lastb_ref[:]
     best0 = out_ref[0, 0]
-    top0 = tcw_ref[pl.ds(7, 1), :]
-    carry = (d_ref[1], d_ref[0], best0, top0)
+    carry = (d_ref[1], d_ref[0], best0)
     for tloc in range(Lc):
         carry = step(tloc, carry)
-    d1, d2, best, _ = carry
-    d_ref[0] = d2
+        if tloc < Lc - 1:
+            brow_ref[pl.ds(tloc + 1, 1), :] = carry[0][w - 1 : w, :]
+        else:
+            lastb_ref[:] = carry[0][w - 1 : w, :]
+    d1, d1s_last, best = carry
+    d_ref[0] = d1s_last
     d_ref[1] = d1
     out_ref[0, 0] = best
 
