@@ -15,7 +15,7 @@ that claim measurable instead of asserted (VERDICT round-2 item 3):
      Measured ~1.7 Tops/s.
 2. Derives the kernel's per-cell cost:
    - staging: KPAD * (Lc + w - 8) / Lc = ~420 int8 MACs/cell,
-   - DP: ~10 VPU int32 ops/cell (2 shifted-concat reads, add, 3 max, sub,
+   - DP: ~8 VPU int32 ops/cell (1 shifted-concat read, add, 3 max, sub,
      relu-max, best-max, int8->int32 convert),
    - HBM: ~(1 + 8)/w B/cell subject re-read + carry = ~0.3 B/cell,
      negligible against 819 GB/s.
@@ -174,7 +174,10 @@ def main():
     gcups, Lc = measure_wave_kernel()
     w = wave_sw.W
     macs_per_cell = wave_sw.KPAD * (Lc + w - 8) / Lc
-    ops_per_cell = 10.0
+    # Post carried-diagonal-shift kernel: convert, 1 shifted concat, add,
+    # 3 max, sub, best-max = 8 tile ops/step (+ ~1/w row-op for the bottom
+    # write; one-hot build amortises across bands via the hoist).
+    ops_per_cell = 8.0
     mxu_bound = mxu / macs_per_cell
     vpu_bound = vpu / ops_per_cell
     serial = 1.0 / (macs_per_cell / mxu + ops_per_cell / vpu)
