@@ -90,6 +90,13 @@ class SWConfig:
     # queries by raw length instead (one compile per group max-length) —
     # set query_ladder=True explicitly to bound that too.
     query_ladder: Optional[bool] = None
+    # Wavefront DP unroll granularity: None fully unrolls the Lc steps per
+    # chunk (fastest steady state, but each distinct kernel shape costs
+    # ~10-25 s of Mosaic compile, painful cold through a remote tunnel);
+    # an int U (16/32 divide every LC_LADDER rung) traces only U steps per
+    # fori_loop iteration, compiling ~Lc/U x faster at ~20%/U runtime
+    # overhead — the cold-start/serving-fleet trade.
+    wave_unroll_block: Optional[int] = None
 
     # --- parallelism -------------------------------------------------------
     # Device mesh axis sizes: (data,) database sharding across chips.

@@ -395,6 +395,7 @@ class SearchEngine:
                 Lc=wave_sw.pick_lc(L2 - wave_sw.W),
                 Bt=wave_sw.pick_bt_div(Bp),
                 interpret=cfg.interpret,
+                unroll_block=cfg.wave_unroll_block,
             )
 
         if mesh is None:
@@ -428,6 +429,7 @@ class SearchEngine:
                     Lc=wave_sw.pick_lc(L2 - wave_sw.W),
                     Bt=Bt,
                     interpret=cfg.interpret,
+                    unroll_block=cfg.wave_unroll_block,
                 )(lhsB, subjT)
 
             return wave_qs

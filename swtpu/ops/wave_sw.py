@@ -199,7 +199,8 @@ def _wave_kernel(
     # sp_ref (Lc+w-8, w, Bt) int8 scratch — mod-8-skewed staged scores
     # sk_ref (Lc, w, Bt) int8 scratch — fully skewed (step-ordered) scores
     # tcw_ref (Lc+8, Bt) int32 scratch — top-carry window, cols [t0-8, t0+Lc)
-    # brow_ref (Lc, Bt) int32 scratch — bottom rows, cols [t0-w, t0+Lc-w)
+    # brow_ref (Lc+8, Bt) int32 scratch — bottom rows, cols [t0-w, t0+Lc-w]
+    #   (row Lc is the one-past slot the DMA never reads; +8 keeps tiling)
     # lastb_ref (1, Bt) int32 scratch — bottom of the chunk's LAST column
     # zero_ref (w, Bt) int32 scratch — zero block for the carry tail
     # tail_ref (w, Bt) int8 scratch — previous chunk's last w subject cols
@@ -258,7 +259,7 @@ def _wave_kernel(
         def _wait_prev_brow():
             # same byte count/semaphore as the previous program's write
             pltpu.make_async_copy(
-                brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
+                brow_ref.at[pl.ds(0, Lc)], tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
             ).wait()
 
     # ---- top-carry read: HBM row = column + w; window covers columns
@@ -400,43 +401,50 @@ def _wave_kernel(
 
     # brow[0] = bottom H of column t0 - w (previous chunk's last column,
     # zero at chunk 0 via _init_d) — written after _wait_prev_brow so the
-    # deferred DMA cannot read a torn row.
+    # deferred DMA cannot read a torn row.  Every step then writes
+    # brow[tloc + 1] unconditionally (row Lc is a one-past slot the DMA
+    # never reads) and the chunk's last bottom is collected from it after
+    # the loop — branch-free, so the body is identical under full unroll,
+    # blocked unroll, and the rolled interpret loop.
     brow_ref[pl.ds(0, 1), :] = lastb_ref[:]
     best0 = out_ref[0, 0]
     carry = (d_ref[1], d_ref[0], best0)
-    if unroll:
+
+    def step_row(tloc, carry):
+        carry = step(tloc, carry)
+        brow_ref[pl.ds(tloc + 1, 1), :] = carry[0][w - 1 : w, :]
+        return carry
+
+    if unroll is True:
         # Fully unrolled (Lc <= 256 by construction): a lax.fori_loop here
         # costs ~20% end-to-end in per-iteration loop overhead (measured
         # 107 -> 131 GCUPS padded at 4096x512x512 from unrolling alone).
         for tloc in range(Lc):
-            carry = step(tloc, carry)
-            if tloc < Lc - 1:
-                brow_ref[pl.ds(tloc + 1, 1), :] = carry[0][w - 1 : w, :]
-            else:
-                lastb_ref[:] = carry[0][w - 1 : w, :]
-    else:  # interpret mode: a rolled loop keeps CPU-test tracing tractable
+            carry = step_row(tloc, carry)
+    elif unroll:
+        # Blocked unroll: Lc/U outer iterations of U unrolled steps —
+        # Mosaic compile time scales with traced step count, so U=16
+        # compiles ~Lc/U-fold faster than the full unroll while paying the
+        # fori_loop's per-iteration overhead only once every U steps
+        # (serving/cold-start mode; see SWConfig.wave_unroll_block).
+        U = unroll
 
-        def step_rolled(tloc, carry):
-            carry = step(tloc, carry)
-
-            @pl.when(tloc < Lc - 1)
-            def _brow():
-                brow_ref[pl.ds(tloc + 1, 1), :] = carry[0][w - 1 : w, :]
-
-            @pl.when(tloc == Lc - 1)
-            def _lastb():
-                lastb_ref[:] = carry[0][w - 1 : w, :]
-
+        def blk(bi, carry):
+            for u in range(U):
+                carry = step_row(bi * U + u, carry)
             return carry
 
-        carry = jax.lax.fori_loop(0, Lc, step_rolled, carry)
+        carry = jax.lax.fori_loop(0, Lc // U, blk, carry)
+    else:  # interpret mode: a rolled loop keeps CPU-test tracing tractable
+        carry = jax.lax.fori_loop(0, Lc, step_row, carry)
     d1, d1s_last, best = carry
+    lastb_ref[:] = brow_ref[pl.ds(Lc, 1), :]
     d_ref[0] = d1s_last
     d_ref[1] = d1
     out_ref[0, 0] = best
 
     # ---- bottom-row write: columns [t0-w, t0+Lc-w) at rows [t0, t0+Lc).
-    wr = pltpu.make_async_copy(brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1])
+    wr = pltpu.make_async_copy(brow_ref.at[pl.ds(0, Lc)], tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1])
     wr.start()
     if not defer_wr:
         wr.wait()
@@ -450,7 +458,7 @@ def _wave_kernel(
         @pl.when(last)
         def _wait_final_brow():
             pltpu.make_async_copy(
-                brow_ref, tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
+                brow_ref.at[pl.ds(0, Lc)], tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
             ).wait()
 
     # The final w columns [L2-w, L2) lag one chunk behind and are produced
@@ -467,7 +475,8 @@ def _wave_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gap", "Lc", "Bt", "w", "interpret", "return_carry")
+    jax.jit,
+    static_argnames=("gap", "Lc", "Bt", "w", "interpret", "return_carry", "unroll_block"),
 )
 def sw_wave(
     lhsB,
@@ -480,6 +489,7 @@ def sw_wave(
     w: int = W,
     interpret: bool = False,
     return_carry: bool = False,
+    unroll_block: int | None = None,
 ):
     """Max SW score of one or more queries vs a transposed bucket (int32).
 
@@ -495,6 +505,10 @@ def sw_wave(
       gap: linear gap penalty.
       Lc: column-chunk size (pick_lc).
       Bt: subjects per program (pick_bt / pick_bt_div).
+      unroll_block: None fully unrolls the Lc DP steps (fastest steady
+        state); an int U (dividing Lc; 16/32 divide every LC_LADDER rung)
+        block-unrolls U steps per fori_loop iteration, compiling ~Lc/U x
+        faster for cold-start-sensitive paths at ~20%/U loop overhead.
       w: band height — 32 (default) or 64; w=64 halves per-program fixed
         costs / one-hot builds / carry traffic per cell for wide buckets,
         at double the band VMEM and query-row padding.
@@ -517,6 +531,7 @@ def sw_wave(
     n_q, n_bands = lhsB.shape[0], lhsB.shape[1]
     L2, B = subjT.shape
     assert L2 % Lc == 0 and B % Bt == 0 and Lc % G == 0 and w % 8 == 0
+    assert unroll_block is None or (0 < unroll_block and Lc % unroll_block == 0)
     # The carry buffer is shared across the grid's query axis (each query
     # overwrites it in grid order), so both carry directions are
     # single-query-only: a multi-query carry would silently reflect only
@@ -535,7 +550,9 @@ def sw_wave(
         w=w,
         n_bands=n_bands,
         has_top_in=top_in is not None,
-        unroll=not interpret,
+        # interpret honours an explicit block size (CPU-testable path);
+        # otherwise a rolled loop keeps interpret tracing tractable
+        unroll=(unroll_block or False) if interpret else (unroll_block or True),
         hoist_oh=hoist_oh,
     )
     in_specs = [
@@ -570,7 +587,7 @@ def sw_wave(
             pltpu.VMEM((Lc + w - 8, w, Bt), jnp.int8),
             pltpu.VMEM((Lc, w, Bt), jnp.int8),
             pltpu.VMEM((Lc + 8, Bt), jnp.int32),
-            pltpu.VMEM((Lc, Bt), jnp.int32),
+            pltpu.VMEM((Lc + 8, Bt), jnp.int32),
             pltpu.VMEM((1, Bt), jnp.int32),
             pltpu.VMEM((w, Bt), jnp.int32),
             pltpu.VMEM((w, Bt), jnp.int8),

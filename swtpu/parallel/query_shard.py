@@ -129,6 +129,7 @@ def make_wave_query_sharded_step(
     Lc: int,
     Bt: int,
     interpret: bool = False,
+    unroll_block=None,
 ):
     """Systolic query-band pipeline on the WAVEFRONT kernel (round-3 port
     of the band-carry hand-off, VERDICT item 5).
@@ -176,6 +177,7 @@ def make_wave_query_sharded_step(
                 Bt=Bt,
                 interpret=interpret,
                 return_carry=True,
+                unroll_block=unroll_block,
             )
             scores = jnp.where(
                 active,

@@ -232,3 +232,19 @@ def test_engine_wave_mesh_device_topk():
     ).search(q, db)
     assert topk.scores is None
     assert topk.hits == full.top_k(4)
+
+
+def test_wave_blocked_unroll_matches():
+    """unroll_block=16 (cold-start serving mode) is bit-exact vs the
+    default path across chunk boundaries and bands."""
+    rng = np.random.default_rng(13)
+    m = blosum50_ref()
+    q = rng.integers(0, 25, 70).astype(np.int8)
+    subj = _random_bucket(rng, 128, 300)
+    prof = xla_sw.make_profile(q, m, pad_rows_to=wave_sw.W)
+    lhsB = jnp.asarray(wave_sw.build_lhs_banded(prof))
+    subjT = jnp.asarray(wave_sw.transpose_pad(subj, 352))
+    kw = dict(gap=2, Lc=192, Bt=128, interpret=True)
+    base = np.asarray(wave_sw.sw_wave(lhsB, subjT, **kw))
+    blocked = np.asarray(wave_sw.sw_wave(lhsB, subjT, unroll_block=16, **kw))
+    np.testing.assert_array_equal(blocked, base)
