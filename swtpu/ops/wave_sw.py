@@ -2,12 +2,14 @@
 
 Lanes = subjects; a band of w (32 or 64) query rows advances as an
 anti-diagonal wavefront over the subject (time) axis, so the only per-step
-dependencies are sublane shifts of the two previous wave fronts — the
+dependency is ONE sublane shift of the previous wave front — the
 within-row cummax of the row-parallel kernels (swtpu.ops.xla_sw, ~40 VPU
-ops/cell of Kogge-Stone) disappears entirely (~12 VPU ops/cell, exact
-int32, no saturation/rescore).  Measured ~129-171 GCUPS padded on one v5e
-chip vs ~50 for the XLA int16 fast path (tools/wave_bench.py); the
-SwissProt-scale engine headline is 120.6 GCUPS device (BENCHMARKS.md).
+ops/cell of Kogge-Stone) disappears entirely, and the shifted wave t-2
+(the diagonal input) is the previous step's shifted wave t-1, carried
+instead of recomputed (~8 VPU ops/cell, exact int32, no
+saturation/rescore).  Measured ~129-171 GCUPS padded on one v5e chip vs
+~50 for the XLA int16 fast path (tools/wave_bench.py); see BENCHMARKS.md
+for the SwissProt-scale engine headline.
 
 Key TPU mechanics (see tools/pallas_wave.py for the derivation):
 
@@ -25,6 +27,14 @@ Key TPU mechanics (see tools/pallas_wave.py for the derivation):
 * **Boundary-free ramps.**  Lead-in/lead-out diagonal ramps need no masks:
   pad columns score PAD_SCORE (< -2*gap), which pins the ramp rows to
   H = 0 exactly by induction.
+* **Hoisted one-hot.**  The subject one-hot depends only on (tile, chunk):
+  when the full tile width fits the VMEM budget (always, single-chunk) it
+  is built once per lane tile and reused across every band and query of
+  the grid's folded (query, band) axis.
+* **Blocked unroll.**  The DP steps fully unroll by default (fastest
+  steady state); ``unroll_block=U`` traces U steps per fori_loop
+  iteration for ~Lc/U-fold faster Mosaic compiles on cold-start-sensitive
+  serving paths.
 
 Design provenance: replaces the reference's one-thread-per-alignment serial
 fill (src/SWSolver.cu:201-264) with the intra-matrix anti-diagonal
