@@ -112,6 +112,10 @@ def main() -> int:
     ref = np.asarray(xla_sw.sw_score_bucket(jnp.asarray(prof), jnp.asarray(subj), gap=2, strip=32))
     check("query-shard systolic kernel (top_in carry, compiled)", bool((got == ref).all()))
 
+    # 8. blocked DP unroll (cold-start serving mode) == full unroll
+    res_blk = SearchEngine(SWConfig(wave_unroll_block=16)).search(q, db10k)
+    check("blocked unroll (U=16) == full unroll", bool((res_blk.scores == golden10k).all()))
+
     print("tpu_validate:", "ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
