@@ -248,3 +248,25 @@ def test_wave_blocked_unroll_matches():
     base = np.asarray(wave_sw.sw_wave(lhsB, subjT, **kw))
     blocked = np.asarray(wave_sw.sw_wave(lhsB, subjT, unroll_block=16, **kw))
     np.testing.assert_array_equal(blocked, base)
+
+
+def test_engine_wave_unroll_block_matches():
+    """SWConfig.wave_unroll_block plumbs to the kernel and leaves scores
+    unchanged through the whole engine path."""
+    from swtpu.alphabet import encode_str
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Query, database_from_sequences
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(29)
+    alphabet = "ARNDCQEGHILKMFPSTWYV"
+    seqs = ["".join(rng.choice(list(alphabet), size=int(n))) for n in rng.integers(5, 150, 30)]
+    db = database_from_sequences(seqs)
+    qs = "".join(rng.choice(list(alphabet), size=50))
+    q = Query(name="Q1", residues=encode_str(qs), raw=qs)
+
+    ref = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+    blk = SearchEngine(
+        SWConfig(use_wave=True, interpret=True, wave_unroll_block=16)
+    ).search(q, db)
+    np.testing.assert_array_equal(blk.scores, ref.scores)
