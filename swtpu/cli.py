@@ -90,19 +90,25 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from .io.fasta import parse_database, parse_query
     from .models.search import SearchEngine
 
-    config = SWConfig(
-        gap_penalty=args.gap,
-        matrix=args.matrix,
-        score_dtype=args.score_dtype,
-        batch_rows=args.batch_rows,
-        length_quantum=args.length_quantum,
-        use_pallas=args.pallas and not args.no_pallas,
-        use_wave=args.wave,
-        top_k=args.top_k,
-        mesh_shape=(args.mesh,),
-        query_shard=args.query_shard,
-        wave_unroll_block=args.unroll_block,
-    )
+    try:
+        config = SWConfig(
+            gap_penalty=args.gap,
+            matrix=args.matrix,
+            score_dtype=args.score_dtype,
+            batch_rows=args.batch_rows,
+            length_quantum=args.length_quantum,
+            use_pallas=args.pallas and not args.no_pallas,
+            use_wave=args.wave,
+            top_k=args.top_k,
+            mesh_shape=(args.mesh,),
+            query_shard=args.query_shard,
+            wave_unroll_block=args.unroll_block,
+        )
+    except ValueError as e:
+        # Flag validation (e.g. --unroll-block 24) fails fast and clean,
+        # before any parse/pack/compile work.
+        print(f"swtpu: error: {e}", file=sys.stderr)
+        return 2
 
     query = parse_query(args.query)
     print(f"Input buffer:{query.raw}")

@@ -120,6 +120,14 @@ class SWConfig:
             raise ValueError(f"unsupported score_dtype {self.score_dtype!r}")
         if len(self.mesh_shape) != len(self.mesh_axes):
             raise ValueError("mesh_shape and mesh_axes must align")
+        if self.wave_unroll_block is not None and (
+            self.wave_unroll_block < 1 or 32 % self.wave_unroll_block != 0
+        ):
+            # Every LC_LADDER rung is a multiple of 32, so any divisor of
+            # 32 divides every chunk size the engine can pick.
+            raise ValueError(
+                f"wave_unroll_block must divide 32 (got {self.wave_unroll_block})"
+            )
 
     @property
     def n_devices(self) -> int:

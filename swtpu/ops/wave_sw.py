@@ -45,6 +45,7 @@ wavefront-to-sublanes / subjects-to-lanes for the VPU's (8, 128) geometry.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +121,26 @@ BT_SPEED = {512: 1.0, 256: 0.96, 128: 0.88}
 _VMEM_HOIST_BUDGET = 14.5 * 2**20
 
 
+def _scratch_shapes(L2: int, Lc: int, Bt: int, w: int, hoist_oh: bool):
+    """The kernel's VMEM scratch list, in _wave_kernel ref order.
+
+    Single source of truth: passed to pallas_call AND summed by
+    _should_hoist's budget check, so the estimate can't drift from the
+    real allocation when scratch buffers are resized.
+    """
+    return [
+        pltpu.VMEM((((L2 if hoist_oh else Lc) + w + 1) * A32, Bt), jnp.int8),  # oh
+        pltpu.VMEM((Lc + w - 8, w, Bt), jnp.int8),  # sp
+        pltpu.VMEM((Lc, w, Bt), jnp.int8),  # sk
+        pltpu.VMEM((Lc + 8, Bt), jnp.int32),  # tcw
+        pltpu.VMEM((Lc + 8, Bt), jnp.int32),  # brow
+        pltpu.VMEM((1, Bt), jnp.int32),  # lastb
+        pltpu.VMEM((w, Bt), jnp.int32),  # zero
+        pltpu.VMEM((w, Bt), jnp.int8),  # tail
+        pltpu.VMEM((2, w, Bt), jnp.int32),  # d
+    ]
+
+
 def _should_hoist(L2: int, Lc: int, Bt: int, w: int, n_qb: int) -> bool:
     """Hoist the one-hot across the band/query grid axis when it fits.
 
@@ -132,16 +153,11 @@ def _should_hoist(L2: int, Lc: int, Bt: int, w: int, n_qb: int) -> bool:
         return True
     if n_qb <= 1:
         return False
-    scratch = (
-        (L2 + w + 1) * A32 * Bt  # oh (hoisted)
-        + (Lc + w - 8) * w * Bt  # sp
-        + Lc * w * Bt  # sk
-        + (Lc + 8) * Bt * 4  # tcw
-        + Lc * Bt * 4  # brow
-        + w * Bt * 4  # zero
-        + w * Bt  # tail
-        + 2 * w * Bt * 4  # d
-        + 2 * (G * w * KPAD + Lc * Bt)  # double-buffered input blocks
+    scratch = sum(
+        math.prod(ref.shape) * jnp.dtype(ref.dtype).itemsize
+        for ref in _scratch_shapes(L2, Lc, Bt, w, True)
+    ) + (
+        2 * (G * w * KPAD + Lc * Bt)  # double-buffered input blocks
         + 2 * w * Bt * 4  # double-buffered out block
     )
     return scratch <= _VMEM_HOIST_BUDGET
@@ -486,7 +502,16 @@ def _wave_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap", "Lc", "Bt", "w", "interpret", "return_carry", "unroll_block"),
+    static_argnames=(
+        "gap",
+        "Lc",
+        "Bt",
+        "w",
+        "interpret",
+        "return_carry",
+        "unroll_block",
+        "hoist",
+    ),
 )
 def sw_wave(
     lhsB,
@@ -500,6 +525,7 @@ def sw_wave(
     interpret: bool = False,
     return_carry: bool = False,
     unroll_block: int | None = None,
+    hoist: bool | None = None,
 ):
     """Max SW score of one or more queries vs a transposed bucket (int32).
 
@@ -519,6 +545,9 @@ def sw_wave(
         state); an int U (dividing Lc; 16/32 divide every LC_LADDER rung)
         block-unrolls U steps per fori_loop iteration, compiling ~Lc/U x
         faster for cold-start-sensitive paths at ~20%/U loop overhead.
+      hoist: None (default) auto-decides one-hot hoisting via the VMEM
+        budget (_should_hoist); True/False pins it (part of the jit cache
+        key, so tests can force either path deterministically).
       w: band height — 32 (default) or 64; w=64 halves per-program fixed
         costs / one-hot builds / carry traffic per cell for wide buckets,
         at double the band VMEM and query-row padding.
@@ -541,7 +570,12 @@ def sw_wave(
     n_q, n_bands = lhsB.shape[0], lhsB.shape[1]
     L2, B = subjT.shape
     assert L2 % Lc == 0 and B % Bt == 0 and Lc % G == 0 and w % 8 == 0
-    assert unroll_block is None or (0 < unroll_block and Lc % unroll_block == 0)
+    if unroll_block is not None and (unroll_block < 1 or Lc % unroll_block != 0):
+        # Real error (not assert): a bad CLI/config value must not be
+        # stripped under `python -O` into a silently-truncated DP loop.
+        raise ValueError(
+            f"unroll_block={unroll_block} must be a positive divisor of Lc={Lc}"
+        )
     # The carry buffer is shared across the grid's query axis (each query
     # overwrites it in grid order), so both carry directions are
     # single-query-only: a multi-query carry would silently reflect only
@@ -552,7 +586,7 @@ def sw_wave(
     n_tiles = B // Bt
     n_chunks = L2 // Lc
     LT = L2 + w
-    hoist_oh = _should_hoist(L2, Lc, Bt, w, n_q * n_bands)
+    hoist_oh = _should_hoist(L2, Lc, Bt, w, n_q * n_bands) if hoist is None else hoist
     kern = functools.partial(
         _wave_kernel,
         gap=gap,
@@ -592,18 +626,8 @@ def sw_wave(
             jax.ShapeDtypeStruct((n_tiles, n_q, w, Bt), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, LT, Bt), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((((L2 if hoist_oh else Lc) + w + 1) * A32, Bt), jnp.int8),
-            pltpu.VMEM((Lc + w - 8, w, Bt), jnp.int8),
-            pltpu.VMEM((Lc, w, Bt), jnp.int8),
-            pltpu.VMEM((Lc + 8, Bt), jnp.int32),
-            pltpu.VMEM((Lc + 8, Bt), jnp.int32),
-            pltpu.VMEM((1, Bt), jnp.int32),
-            pltpu.VMEM((w, Bt), jnp.int32),
-            pltpu.VMEM((w, Bt), jnp.int8),
-            pltpu.VMEM((2, w, Bt), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=_scratch_shapes(L2, Lc, Bt, w, hoist_oh)
+        + [pltpu.SemaphoreType.DMA((4,))],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * (L2 + (w - 8) * n_chunks) * n_q * n_bands * KPAD,
             bytes_accessed=B * L2 + B * LT * 8 * n_q * n_bands,
@@ -623,6 +647,7 @@ def sw_score_bucket_wave(
     gap: int,
     w: int = W,
     interpret: bool = False,
+    hoist: bool | None = None,
 ):
     """Convenience wrapper: score a (B, L) bucket via the wavefront kernel.
 
@@ -644,6 +669,13 @@ def sw_score_bucket_wave(
         subjects = np.pad(subjects, ((0, pad_b), (0, 0)), constant_values=PAD_SUBJECT)
     subjT = transpose_pad(np.asarray(subjects, dtype=np.int8), width, w)
     out = sw_wave(
-        jnp.asarray(lhsB), jnp.asarray(subjT), gap=gap, Lc=Lc, Bt=Bt, w=w, interpret=interpret
+        jnp.asarray(lhsB),
+        jnp.asarray(subjT),
+        gap=gap,
+        Lc=Lc,
+        Bt=Bt,
+        w=w,
+        interpret=interpret,
+        hoist=hoist,
     )
     return out[:B]

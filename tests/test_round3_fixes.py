@@ -178,3 +178,48 @@ def test_query_shard_requires_wave():
     back to database sharding (review finding)."""
     with pytest.raises(ValueError, match="query_shard"):
         SearchEngine(SWConfig(use_wave=False, mesh_shape=(2,), query_shard=True))
+
+
+def test_config_rejects_bad_unroll_block():
+    """wave_unroll_block must divide 32 (every LC_LADDER rung is a multiple
+    of 32) — invalid values fail at config time with a ValueError, not as a
+    deep kernel assert that python -O would strip into silently-truncated
+    DP loops (review finding)."""
+    for bad in (24, 3, 0, -16):
+        with pytest.raises(ValueError, match="wave_unroll_block"):
+            SWConfig(wave_unroll_block=bad)
+    for ok in (1, 2, 4, 8, 16, 32, None):
+        SWConfig(wave_unroll_block=ok)
+
+
+def test_sw_wave_rejects_bad_unroll_block():
+    """The kernel itself raises a real ValueError (not an assert) on an
+    unroll_block that does not divide Lc."""
+    from swtpu.ops import wave_sw, xla_sw
+    from swtpu.matrices import blosum50_ref
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 25, 30).astype(np.int8)
+    prof = xla_sw.make_profile(q, blosum50_ref(), pad_rows_to=wave_sw.W)
+    lhsB = wave_sw.build_lhs_banded(prof, wave_sw.W)
+    subjT = wave_sw.transpose_pad(
+        rng.integers(0, 25, (128, 50)).astype(np.int8), 96, wave_sw.W
+    )  # -> (128, 128)
+    with pytest.raises(ValueError, match="unroll_block"):
+        wave_sw.sw_wave(
+            lhsB, subjT, gap=2, Lc=128, Bt=128, interpret=True, unroll_block=7
+        )
+
+
+def test_cli_bad_unroll_block_exits_cleanly(tmp_path, capsys):
+    """CLI surfaces config validation as a clean exit-2 error, before any
+    parsing or device work."""
+    from swtpu.cli import main
+
+    q = tmp_path / "q.fasta"
+    db = tmp_path / "db.fasta"
+    q.write_text(">q\nMKV\n")
+    db.write_text(">s\nMKV\n")
+    rc = main(["--query", str(q), "--db", str(db), "--unroll-block", "24"])
+    assert rc == 2
+    assert "wave_unroll_block" in capsys.readouterr().err

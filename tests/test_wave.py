@@ -101,17 +101,19 @@ def test_wave_onehot_reuse_multitile_multiquery():
         np.testing.assert_array_equal(got[qi], ref)
 
 
-def test_wave_multichunk_no_hoist(monkeypatch):
+def test_wave_multichunk_no_hoist():
     """Force the per-chunk one-hot path (tail_ref lookback): shapes small
-    enough for tests always fit the hoist budget, so pin the budget to 0
-    to keep the non-hoisted multi-chunk path covered."""
-    monkeypatch.setattr(wave_sw, "_VMEM_HOIST_BUDGET", 0)
+    enough for tests always fit the hoist budget, so pin hoist=False (a
+    jit-cache-keyed static arg — a budget monkeypatch could be defeated by
+    an earlier same-shape call's cached hoisted executable)."""
     rng = np.random.default_rng(5)
     m = blosum50_ref()
     q = rng.integers(0, 25, 100).astype(np.int8)
     subj = _random_bucket(rng, 128, 300)
     prof = xla_sw.make_profile(q, m, pad_rows_to=wave_sw.W)
-    got = np.asarray(wave_sw.sw_score_bucket_wave(prof, subj, gap=2, interpret=True))
+    got = np.asarray(
+        wave_sw.sw_score_bucket_wave(prof, subj, gap=2, interpret=True, hoist=False)
+    )
     ref = np.asarray(
         xla_sw.sw_score_bucket(
             jnp.asarray(xla_sw.make_profile(q, m, pad_rows_to=32)),

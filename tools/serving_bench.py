@@ -32,8 +32,6 @@ def main():
     from swtpu.io.fasta import Query
     from swtpu.models.search import SearchEngine
 
-    rng = np.random.default_rng(9)
-
     def batch(seed):
         r = np.random.default_rng(seed)
         return [
@@ -56,7 +54,8 @@ def main():
         dev = sum(r.metrics.device_seconds for r in res) or dt
         print(
             f"rep {rep}: {dt:.3f} s wall = {args.queries/dt:.1f} queries/s, "
-            f"{1e-9*cells/dt:.1f} GCUPS aggregate e2e"
+            f"{1e-9*cells/dt:.1f} GCUPS aggregate e2e, "
+            f"{1e-9*cells/dev:.1f} GCUPS device"
         )
 
 
