@@ -78,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
         "compiles at ~20%%/U runtime overhead (serving fleets / remote "
         "tunnels); default fully unrolls",
     )
+    p.add_argument(
+        "--prefilter",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="heuristic two-phase mode: k-mer MXU coarse pass, then exact "
+        "rescore of the top FRAC of the database (requires --top-k; "
+        "reported scores are exact, but hits outside the candidate set "
+        "are missed)",
+    )
     p.add_argument("--batch-rows", type=int, default=8192)
     p.add_argument("--length-quantum", type=int, default=128)
     return p
@@ -103,6 +113,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             mesh_shape=(args.mesh,),
             query_shard=args.query_shard,
             wave_unroll_block=args.unroll_block,
+            prefilter=args.prefilter,
         )
     except ValueError as e:
         # Flag validation (e.g. --unroll-block 24) fails fast and clean,

@@ -78,6 +78,19 @@ class SWConfig:
     # --- results -----------------------------------------------------------
     top_k: Optional[int] = None  # None = full score array (reference parity)
 
+    # --- heuristic prefilter (beyond-reference, optional) -------------------
+    # Two-phase search: a k-mer-signature MXU coarse pass ranks the whole
+    # database in ~1024 MACs/subject, then only the top ``prefilter``
+    # fraction is scored exactly (swtpu.ops.prefilter).  Reported hits are
+    # exact SW scores, but a true top-K member outside the candidate set is
+    # missed — hence opt-in, and requires top_k (there is no meaningful
+    # "full score array" when most of it was never computed).  None = off
+    # (exhaustive, reference semantics).
+    prefilter: Optional[float] = None
+    # Candidate-set floor: never rescore fewer than this many (or n, or
+    # 4*top_k, whichever binds) — keeps recall sane on small databases.
+    prefilter_min_candidates: int = 256
+
     # --- serving -----------------------------------------------------------
     # Round query-row padding up a geometric ladder (32-step to 256, then
     # ~1.25x) so a serving fleet compiles O(log) kernel variants instead of
@@ -128,6 +141,18 @@ class SWConfig:
             raise ValueError(
                 f"wave_unroll_block must divide 32 (got {self.wave_unroll_block})"
             )
+        if self.prefilter is not None:
+            if not (0.0 < self.prefilter <= 1.0):
+                raise ValueError(
+                    f"prefilter must be a fraction in (0, 1] (got {self.prefilter})"
+                )
+            if self.top_k is None:
+                raise ValueError(
+                    "prefilter requires top_k: the heuristic two-phase search "
+                    "only reports a top-K (most scores are never computed)"
+                )
+            if self.prefilter_min_candidates < 1:
+                raise ValueError("prefilter_min_candidates must be >= 1")
 
     @property
     def n_devices(self) -> int:

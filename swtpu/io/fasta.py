@@ -90,6 +90,25 @@ class Database:
     def sequences(self) -> List[np.ndarray]:
         return [self.sequence(i) for i in range(self.n)]
 
+    def take(self, ids: np.ndarray) -> "Database":
+        """Gather the given record ids (ascending or not) into a compact
+        database; record i of the result is ``ids[i]`` of this one.  Used by
+        the heuristic prefilter to hand its candidate set to the exact
+        engine."""
+        ids = np.asarray(ids, dtype=np.int64)
+        lens = self.lengths[ids]
+        off = np.zeros(ids.shape[0] + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        res = np.empty(int(off[-1]), dtype=np.int8)
+        for j, i in enumerate(ids):
+            res[off[j] : off[j + 1]] = self.residues[
+                int(self.offsets[i]) : int(self.offsets[i + 1])
+            ]
+        hdr = (
+            [self.headers[int(i)] for i in ids] if self.headers is not None else None
+        )
+        return Database(residues=res, offsets=off, headers=hdr)
+
     def shard(self, index: int, count: int) -> "Database":
         """Contiguous shard `index` of `count` (for multi-host DB sharding).
 

@@ -817,6 +817,11 @@ class SearchEngine:
         cfg = self.config
         if not queries:
             return []
+        if cfg.prefilter is not None:
+            # Heuristic mode: candidate sets differ per query, so batched
+            # shared-dispatch packing does not apply; the signature matrix
+            # and coarse matmul are shared via the per-db cache.
+            return [self._search_prefiltered(q, db) for q in queries]
         if self._wave_enabled:
             if packed is None:
                 packed = self._resident_packed(db)
@@ -1063,8 +1068,82 @@ class SearchEngine:
         )
         return SearchResult(scores=scores, metrics=metrics)
 
+    def _exact_engine(self) -> "SearchEngine":
+        """Lazy exhaustive engine for the prefilter's exact phase (same
+        config minus the heuristic knobs; full score array over the
+        candidate sub-database)."""
+        if getattr(self, "_exact", None) is None:
+            self._exact = SearchEngine(self.config.replace(prefilter=None, top_k=None))
+        return self._exact
+
+    def _prefilter_signatures(self, db: Database):
+        """Device-resident ((n, DIM) signatures, (n,) popcounts), cached
+        per db object."""
+        from ..ops import prefilter as pf
+
+        cached = getattr(self, "_sig_cache", None)
+        if cached is not None and cached[0] is db:
+            return cached[1], cached[2]
+        sig = pf.database_signatures(db)
+        pop = sig.sum(axis=1, dtype=np.int32)
+        sig_dev, pop_dev = jnp.asarray(sig), jnp.asarray(pop)
+        self._sig_cache = (db, sig_dev, pop_dev)
+        return sig_dev, pop_dev
+
+    def _search_prefiltered(self, query: Query, db: Database) -> SearchResult:
+        """Two-phase heuristic search (swtpu.ops.prefilter): MXU coarse
+        pass over k-mer signatures -> exact wavefront rescore of the top
+        candidates.  Reported hits are exact SW scores with file-order ids;
+        scores is None (most of the array was never computed)."""
+        from ..ops import prefilter as pf
+
+        cfg = self.config
+        timer = PhaseTimer()
+        t_start = time.perf_counter()
+        with timer.phase("prefilter_signatures"):
+            sig_dev, pop_dev = self._prefilter_signatures(db)
+            qsig = pf.signature(query.residues)
+        if db.n and qsig.any():
+            with timer.phase("prefilter_coarse"):
+                qsig_dev = jnp.asarray(qsig)
+                z = np.asarray(pf.coarse_zscores(sig_dev, pop_dev, qsig_dev))
+                raw = np.asarray(pf.coarse_scores(sig_dev, qsig_dev))
+            n_cand = max(
+                int(np.ceil(cfg.prefilter * db.n)),
+                min(cfg.prefilter_min_candidates, db.n),
+                4 * cfg.top_k,
+            )
+            cand = pf.select_candidates([z, raw], n_cand)
+        else:
+            # Degenerate coarse signal (query shorter than K / empty db):
+            # fall back to exhaustive rather than return arbitrary hits.
+            cand = np.arange(db.n, dtype=np.int64)
+        with timer.phase("prefilter_gather"):
+            sub = db.take(cand)
+        sub_result = self._exact_engine().search(query, sub)
+        k = min(cfg.top_k, sub.n)
+        # Candidate ids are sorted ascending, so the sub-engine's
+        # id-ascending tie-break maps straight onto file-order ids.
+        hits = [(int(cand[i]), s) for i, s in sub_result.top_k(k)]
+        wall = time.perf_counter() - t_start
+        phases = dict(timer.phases)
+        phases.update(sub_result.metrics.phases)
+        metrics = SearchMetrics(
+            query_length=query.length,
+            n_subjects=db.n,
+            residue_sum=db.length_sum,
+            padded8_sum=db.padded_length_sum(8),
+            packed_cells=sub_result.metrics.packed_cells,
+            wall_seconds=wall,
+            device_seconds=sub_result.metrics.device_seconds,
+            phases=phases,
+        )
+        return SearchResult(scores=None, metrics=metrics, hits=hits)
+
     def search(self, query: Query, db: Database, plan: Optional[BatchPlan] = None) -> SearchResult:
         cfg = self.config
+        if cfg.prefilter is not None:
+            return self._search_prefiltered(query, db)
         timer = PhaseTimer()
         t_start = time.perf_counter()
 

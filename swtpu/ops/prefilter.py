@@ -1,0 +1,163 @@
+"""Heuristic k-mer prefilter: MXU coarse pass feeding the exact engine.
+
+Beyond-reference optional subsystem (the reference is exhaustive —
+src/SWSolver.cu scores every subject; this stays off unless
+``SWConfig.prefilter`` is set).  CUDASW++-class engines multiply effective
+search throughput with a cheap coarse pass that discards obvious
+non-matches before exact scoring; the TPU-native shape of that idea is:
+
+* every sequence is summarised ONCE as a (DIM,) int8 **presence signature**
+  of its hashed k-mers (k=3, DIM=1024 by default) — an O(L) host-side
+  pass, cached per database like the resident pack;
+* the coarse score of query q vs subject s starts from the number of
+  distinct hashed k-mer buckets they share: ``sig_s . sig_q`` — so scoring
+  the WHOLE database is one (n, DIM) x (DIM,) int8 matmul on the MXU,
+  ~DIM MACs per subject regardless of length (vs L1*L2 DP cells:
+  ~300,000x fewer operations for a 300-aa query);
+* the raw count has a strong LENGTH BIAS (a long random subject marks a
+  third of all buckets and shares ~qk/3 by chance, outranking a short
+  distant homolog), so candidates are ranked by the binomial z-score
+  ``(count - E) / sqrt(E)`` with ``E = qk * popcount(sig_s) / DIM`` — an
+  elementwise correction off one precomputed (n,) popcount vector.
+  Measured on 10k synthetics + planted 10-50%-mutated homologs: raw count
+  ranks the 50% mutant ~5400th, the z-score ranks all planted homologs
+  top-6 at every DIM tried (1024/2048/4096);
+* the top candidates by coarse score (``max(top_k, min_candidates,
+  frac * n)`` of them) are gathered into a compact sub-database and
+  scored EXACTLY by the wavefront engine; reported hits are exact SW
+  scores with original file-order ids.
+
+The coarse pass is a heuristic: a true top-K member outside the candidate
+set is missed (measured recall on the bundled data lives in the tests and
+tools/prefilter_bench.py).  The exact phase guarantees that every
+*reported* score is the true Smith-Waterman score.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Hash-space size: power of two (cheap masking) sized so a ~400-aa subject
+# marks <= ~40% of buckets (expected collision loss stays small), while the
+# full-SwissProt signature matrix stays modest (559k x 1024 int8 = 573 MB).
+DIM = 1024
+K = 3  # k-mer length; 3 balances sensitivity (25^3 distinct) vs noise
+
+# Odd 32-bit mixing constants (Knuth/xxHash-style); uint32 wrap-around is the
+# hash.  Distinct multipliers per position keep permuted k-mers distinct.
+_MIX = np.array([2654435761, 2246822519, 3266489917], dtype=np.uint32)
+
+
+def kmer_hashes(residues: np.ndarray, dim: int = DIM, k: int = K) -> np.ndarray:
+    """Hash bucket of every k-mer window of one encoded sequence."""
+    r = np.asarray(residues, dtype=np.uint32)
+    if r.shape[0] < k:
+        return np.zeros((0,), dtype=np.int64)
+    acc = np.zeros(r.shape[0] - k + 1, dtype=np.uint32)
+    for j in range(k):
+        acc += r[j : r.shape[0] - k + 1 + j] * _MIX[j]
+    # Low bits of a multiplicative hash are the weakest — take high bits.
+    return ((acc >> np.uint32(20)) ^ acc).astype(np.int64) & (dim - 1)
+
+
+def signature(residues: np.ndarray, dim: int = DIM, k: int = K) -> np.ndarray:
+    """(dim,) int8 presence signature of one sequence."""
+    sig = np.zeros((dim,), dtype=np.int8)
+    sig[kmer_hashes(residues, dim, k)] = 1
+    return sig
+
+
+def database_signatures(
+    db, dim: int = DIM, k: int = K, chunk: int = 1 << 24
+) -> np.ndarray:
+    """(n, dim) int8 presence signatures for a whole database.
+
+    Vectorised over the flat residue buffer (no per-sequence Python loop):
+    every position's record id comes from the offsets array, k-mers that
+    would straddle a record boundary are masked out, and presence bits are
+    scattered with one flat assignment per chunk.  ``chunk`` bounds peak
+    temporary memory (~24 bytes/position).
+    """
+    n = db.n
+    sig = np.zeros((n, dim), dtype=np.int8)
+    total = db.length_sum
+    if total < k or n == 0:
+        return sig
+    flat = np.asarray(db.residues, dtype=np.uint32)
+    offsets = np.asarray(db.offsets, dtype=np.int64)
+    rec_of = np.repeat(np.arange(n, dtype=np.int64), db.lengths)
+    sig_flat = sig.reshape(-1)
+    for lo in range(0, total - k + 1, chunk):
+        hi = min(lo + chunk, total - k + 1)
+        pos = np.arange(lo, hi, dtype=np.int64)
+        rec = rec_of[lo:hi]
+        valid = pos + k <= offsets[rec + 1]
+        acc = np.zeros(hi - lo, dtype=np.uint32)
+        for j in range(k):
+            acc += flat[lo + j : hi + j] * _MIX[j]
+        h = (((acc >> np.uint32(20)) ^ acc).astype(np.int64) & (dim - 1))[valid]
+        sig_flat[rec[valid] * dim + h] = 1
+    return sig
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def coarse_scores(sig_db, sig_q) -> jax.Array:
+    """(n,) int32 shared-bucket counts: one MXU int8 matmul."""
+    return jnp.dot(sig_db, sig_q.astype(jnp.int8), preferred_element_type=jnp.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def coarse_zscores(sig_db, popcounts, sig_q) -> jax.Array:
+    """(n,) float32 length-corrected coarse scores (the ranking signal).
+
+    Binomial z-score of the shared-bucket count against the
+    chance-overlap expectation E = qk * popcount_s / DIM: removes the
+    length bias that would otherwise rank long random subjects above
+    short distant homologs.  ``popcounts`` is the (n,) per-subject
+    signature popcount (precompute once per database).
+    """
+    c = coarse_scores(sig_db, sig_q).astype(jnp.float32)
+    qk = jnp.sum(sig_q.astype(jnp.float32))
+    e = qk * popcounts.astype(jnp.float32) / sig_db.shape[1]
+    return (c - e) * jax.lax.rsqrt(jnp.maximum(e, 1.0))
+
+
+def select_candidates(signals, n_cand: int) -> np.ndarray:
+    """Top ``n_cand`` ids, merged round-robin across ranked signals.
+
+    ``signals`` is one score array or a list of them; with several, ids
+    are taken alternately from each signal's descending-score order (dedup
+    keeps the first occurrence) — the engine passes (z-score, raw count)
+    so the set covers BOTH true homologs (z wins: length-corrected) and
+    the long-sequence noise ties exhaustive SW itself favours (raw wins:
+    shares SW's Karlin-Altschul-style length preference).  Ties break by
+    ascending id, so candidate sets are deterministic.  Returns ids sorted
+    ascending.
+    """
+    if isinstance(signals, np.ndarray):
+        signals = [signals]
+    n = signals[0].shape[0]
+    n_cand = min(n_cand, n)
+    if n_cand >= n:
+        return np.arange(n, dtype=np.int64)
+    orders = [
+        np.lexsort((np.arange(n), -np.asarray(s, dtype=np.float64)))
+        for s in signals
+    ]
+    seen = np.zeros(n, dtype=bool)
+    out = np.empty(n_cand, dtype=np.int64)
+    filled = 0
+    for i in range(n):
+        for o in orders:
+            v = o[i]
+            if not seen[v]:
+                seen[v] = True
+                out[filled] = v
+                filled += 1
+                if filled == n_cand:
+                    return np.sort(out)
+    return np.sort(out[:filled])

@@ -116,6 +116,25 @@ def main() -> int:
     res_blk = SearchEngine(SWConfig(wave_unroll_block=16)).search(q, db10k)
     check("blocked unroll (U=16) == full unroll", bool((res_blk.scores == golden10k).all()))
 
+    # 9. heuristic prefilter: plant 5 mutated query copies (10-50% point
+    # mutations) among the 10k synthetics; at a 5% candidate fraction the
+    # coarse MXU pass must recall all of them and the exact phase must
+    # report their true SW scores (noise-level ties below the homologs are
+    # out of contract for a heuristic filter).
+    rng3 = np.random.default_rng(21)
+    mutants = []
+    for frac in (0.1, 0.2, 0.3, 0.4, 0.5):
+        mres = q.residues.copy()
+        idx = rng3.choice(mres.shape[0], int(frac * mres.shape[0]), replace=False)
+        mres[idx] = rng3.integers(0, 25, idx.shape[0]).astype(np.int8)
+        mutants.append(decode(mres))
+    db_hom = database_from_sequences([decode(s) for s in seqs] + mutants)
+    exact5 = SearchEngine(SWConfig(top_k=5)).search(q, db_hom).top_k(5)
+    pre = SearchEngine(
+        SWConfig(prefilter=0.05, top_k=5, prefilter_min_candidates=64)
+    ).search(q, db_hom)
+    check("prefilter (5% of 10k) recalls planted homologs", pre.hits == exact5)
+
     print("tpu_validate:", "ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
