@@ -89,18 +89,26 @@ def database_signatures(
         return sig
     flat = np.asarray(db.residues, dtype=np.uint32)
     offsets = np.asarray(db.offsets, dtype=np.int64)
-    rec_of = np.repeat(np.arange(n, dtype=np.int64), db.lengths)
+    lengths = db.lengths
+    rec_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    # A flat position is a valid k-mer start unless it falls in the last
+    # k-1 positions of its record — marked directly off the offsets
+    # (O(n*k) writes) instead of gathering record ends for every position.
+    n_starts = total - k + 1
+    valid_all = np.ones(n_starts, dtype=bool)
+    for j in range(1, k):
+        idx = offsets[1:][lengths >= j] - j
+        idx = idx[idx < n_starts]
+        valid_all[idx] = False
     sig_flat = sig.reshape(-1)
-    for lo in range(0, total - k + 1, chunk):
-        hi = min(lo + chunk, total - k + 1)
-        pos = np.arange(lo, hi, dtype=np.int64)
-        rec = rec_of[lo:hi]
-        valid = pos + k <= offsets[rec + 1]
+    for lo in range(0, n_starts, chunk):
+        hi = min(lo + chunk, n_starts)
         acc = np.zeros(hi - lo, dtype=np.uint32)
         for j in range(k):
             acc += flat[lo + j : hi + j] * _MIX[j]
-        h = (((acc >> np.uint32(20)) ^ acc).astype(np.int64) & (dim - 1))[valid]
-        sig_flat[rec[valid] * dim + h] = 1
+        v = valid_all[lo:hi]
+        h = (((acc >> np.uint32(20)) ^ acc).astype(np.int64) & (dim - 1))[v]
+        sig_flat[rec_of[lo:hi][v] * dim + h] = 1
     return sig
 
 
