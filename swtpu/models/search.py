@@ -1113,7 +1113,14 @@ class SearchEngine:
                 min(cfg.prefilter_min_candidates, db.n),
                 4 * cfg.top_k,
             )
-            cand = pf.select_candidates([z, raw], n_cand)
+            if int(raw.max(initial=0)) == 0:
+                # No shared bucket anywhere (e.g. every subject shorter
+                # than K): the coarse pass carries no signal, so ranking
+                # by it would pick an arbitrary id prefix — fall back to
+                # exhaustive candidates instead.
+                cand = np.arange(db.n, dtype=np.int64)
+            else:
+                cand = pf.select_candidates([z, raw], n_cand)
         else:
             # Degenerate coarse signal (query shorter than K / empty db):
             # fall back to exhaustive rather than return arbitrary hits.

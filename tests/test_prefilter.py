@@ -203,3 +203,19 @@ def test_zscore_removes_length_bias():
     pop = sig.sum(axis=1, dtype=np.int32)
     z = np.asarray(pf.coarse_zscores(sig, pop, pf.signature(qres)))
     assert int(np.argmax(z)) == 60
+
+
+def test_prefilter_no_signal_falls_back_exhaustive():
+    """If no subject shares a single k-mer bucket with the query (here:
+    every subject is shorter than K), the coarse pass has no signal and the
+    engine must fall back to exhaustive candidates — the best hit sits at a
+    high id, so an arbitrary low-id candidate prefix would miss it."""
+    db = database_from_sequences([b"CC"] * 30 + [b"MK"] + [b"CC"] * 9)
+    q = Query(name="q", residues=encode_str("MKVLATWWYY"), raw="")
+    exact = SearchEngine(SWConfig()).search(q, db)
+    assert exact.top_k(1)[0][0] == 30
+    eng = SearchEngine(SWConfig(prefilter=0.01, top_k=1, prefilter_min_candidates=1))
+    res = eng.search(q, db)
+    # n_cand floor = 4*top_k = 4 < n = 40: without the no-signal guard the
+    # candidate set would be ids {0,1,2,3}.
+    assert res.hits == exact.top_k(1)
