@@ -138,10 +138,30 @@ def _scratch_shapes(L2: int, Lc: int, Bt: int, w: int, hoist_oh: bool):
         pltpu.VMEM((w, Bt), jnp.int32),  # zero
         pltpu.VMEM((w, Bt), jnp.int8),  # tail
         pltpu.VMEM((2, w, Bt), jnp.int32),  # d
+        pltpu.VMEM((w, Bt), jnp.int32),  # b (current-segment best carry)
     ]
 
 
-def _should_hoist(L2: int, Lc: int, Bt: int, w: int, n_qb: int) -> bool:
+def _sep_table(n_segs: int, seg_cols: int, Lc: int, w: int):
+    """Static separator-sweep schedule for subject chaining.
+
+    Segment s < n_segs-1 ends at column c = (s+1)*seg_cols - 1; the band's
+    anti-diagonal sweep visits that column once per row, at global step
+    t = c + r.  Returns {tloc: ((chunk, seg, row), ...)} so the unrolled DP
+    loop emits the snapshot/zero ops ONLY at those static steps (gated on
+    the dynamic chunk id) — ~(n_segs-1)*w of the band's L2 steps, i.e.
+    amortised well below one VPU op/cell.
+    """
+    table: dict = {}
+    for s in range(n_segs - 1):
+        c = (s + 1) * seg_cols - 1
+        for r in range(w):
+            t = c + r
+            table.setdefault(t % Lc, []).append((t // Lc, s, r))
+    return {k: tuple(v) for k, v in table.items()}
+
+
+def _should_hoist(L2: int, Lc: int, Bt: int, w: int, n_qb: int, n_segs: int = 1) -> bool:
     """Hoist the one-hot across the band/query grid axis when it fits.
 
     Single-chunk buckets hoist for free (the hoisted buffer IS the
@@ -158,7 +178,7 @@ def _should_hoist(L2: int, Lc: int, Bt: int, w: int, n_qb: int) -> bool:
         for ref in _scratch_shapes(L2, Lc, Bt, w, True)
     ) + (
         2 * (G * w * KPAD + Lc * Bt)  # double-buffered input blocks
-        + 2 * w * Bt * 4  # double-buffered out block
+        + 2 * n_segs * w * Bt * 4  # double-buffered out block
     )
     return scratch <= _VMEM_HOIST_BUDGET
 
@@ -239,6 +259,8 @@ def _wave_kernel(
     has_top_in: bool = False,
     unroll: bool = True,
     hoist_oh: bool = False,
+    n_segs: int = 1,
+    seg_cols: int = 0,
 ):
     if has_top_in:
         tcin_ref, *refs = refs
@@ -256,6 +278,7 @@ def _wave_kernel(
         zero_ref,
         tail_ref,
         d_ref,
+        b_ref,
         sems,
     ) = refs
     i = pl.program_id(0)
@@ -317,6 +340,9 @@ def _wave_kernel(
     def _init_d():
         d_ref[:] = jnp.zeros_like(d_ref)
         lastb_ref[:] = jnp.zeros_like(lastb_ref)
+        # current-segment best resets at every band start: out accumulates
+        # across bands via the max-writes at sweep/flush points instead.
+        b_ref[:] = jnp.zeros_like(b_ref)
 
     # ---- one-hot over columns [t0-w, t0+Lc): lookback tail + this chunk
     # (int32 iota: Mosaic supports only 16/32-bit iota).  The one-hot
@@ -433,12 +459,50 @@ def _wave_kernel(
     # the loop — branch-free, so the body is identical under full unroll,
     # blocked unroll, and the rolled interpret loop.
     brow_ref[pl.ds(0, 1), :] = lastb_ref[:]
-    best0 = out_ref[0, 0]
-    carry = (d_ref[1], d_ref[0], best0)
+    carry = (d_ref[1], d_ref[0], b_ref[:])
+
+    # Subject chaining (n_segs > 1): segment s ends at static column
+    # c = (s+1)*seg_cols - 1, which the wavefront visits at steps t = c + r
+    # — so only those (n_segs-1)*w static steps carry extra ops.  At each,
+    # gated on the (dynamic) owning chunk: snapshot best[r] into out slot s
+    # (max-accumulate: out spans all bands), then zero best[r] AND h[r] so
+    # the left/diag gap chains cannot leak segment s's scores into segment
+    # s+1 (the decay-through-pad behaviour that is harmless on dedicated
+    # lanes is fatal across chained subjects).  Ordering: AFTER the brow
+    # write — the band carry at column c must keep the TRUE bottom value
+    # for the next band's top boundary (segment s still owns that column).
+    sep_ops = _sep_table(n_segs, seg_cols, Lc, w) if n_segs > 1 else {}
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0) if sep_ops else None
+    )
 
     def step_row(tloc, carry):
         carry = step(tloc, carry)
         brow_ref[pl.ds(tloc + 1, 1), :] = carry[0][w - 1 : w, :]
+        # sep_ops is only populated for n_segs > 1, where the loop is
+        # statically unrolled (tloc is a Python int); the rolled/blocked
+        # loops (traced tloc) always see it empty and skip at trace time.
+        for ck, s, r in (sep_ops.get(tloc, ()) if sep_ops else ()):
+            h, d1s, best = carry
+            pred = chunk == ck
+
+            @pl.when(pred)
+            def _snap(s=s, r=r, best_row=best[r : r + 1, :]):
+                out_ref[0, 0, pl.ds(s * w + r, 1), :] = jnp.maximum(
+                    out_ref[0, 0, pl.ds(s * w + r, 1), :], best_row
+                )
+
+            kill = jnp.logical_and(pred, row_ids == r)  # (w, 1) broadcast
+            # d1s[r] is the diag input of segment s+1's first column at the
+            # next step: for r >= 1 it equals h[r-1], already killed at the
+            # previous sweep step, but for r == 0 it is the BAND CARRY's
+            # top value H_top[c] — segment s's bottom row from the band
+            # above — and must be killed here or it leaks across bands.
+            carry = (
+                jnp.where(kill, 0, h),
+                jnp.where(kill, 0, d1s),
+                jnp.where(kill, 0, best),
+            )
         return carry
 
     if unroll is True:
@@ -467,7 +531,19 @@ def _wave_kernel(
     lastb_ref[:] = brow_ref[pl.ds(Lc, 1), :]
     d_ref[0] = d1s_last
     d_ref[1] = d1
-    out_ref[0, 0] = best
+    b_ref[:] = best
+
+    # Final segment flush: after the band's last chunk, the carried best
+    # holds exactly the LAST segment's cells (earlier segments were
+    # snapshot-and-zeroed at their separator sweeps; trailing pad columns
+    # only ever decay below the running max).  Max-accumulate into the last
+    # out slot so the slot spans all bands of the query.
+    @pl.when(chunk == n_chunks - 1)
+    def _flush_last_seg():
+        lo = (n_segs - 1) * w
+        out_ref[0, 0, pl.ds(lo, w), :] = jnp.maximum(
+            out_ref[0, 0, pl.ds(lo, w), :], best
+        )
 
     # ---- bottom-row write: columns [t0-w, t0+Lc-w) at rows [t0, t0+Lc).
     wr = pltpu.make_async_copy(brow_ref.at[pl.ds(0, Lc)], tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1])
@@ -511,6 +587,7 @@ def _wave_kernel(
         "return_carry",
         "unroll_block",
         "hoist",
+        "n_segs",
     ),
 )
 def sw_wave(
@@ -526,6 +603,7 @@ def sw_wave(
     return_carry: bool = False,
     unroll_block: int | None = None,
     hoist: bool | None = None,
+    n_segs: int = 1,
 ):
     """Max SW score of one or more queries vs a transposed bucket (int32).
 
@@ -548,6 +626,13 @@ def sw_wave(
       hoist: None (default) auto-decides one-hot hoisting via the VMEM
         budget (_should_hoist); True/False pins it (part of the jit cache
         key, so tests can force either path deterministically).
+      n_segs: subject chaining — each lane holds n_segs subjects laid
+        end-to-end in equal (L2 - w) / n_segs column segments, amortising
+        the w-step wavefront ramp and the lane-count quantum across
+        chained subjects (the dominant pad sources for short sequences).
+        Segment isolation costs only ~(n_segs-1)*w static extra steps (see
+        _sep_table); requires the fully unrolled DP (static step ids), so
+        it is mutually exclusive with unroll_block.
       w: band height — 32 (default) or 64; w=64 halves per-program fixed
         costs / one-hot builds / carry traffic per cell for wide buckets,
         at double the band VMEM and query-row padding.
@@ -561,8 +646,10 @@ def sw_wave(
 
     Returns:
       (B,) int32 exact max scores for 3-D lhsB (bit-identical to
-      swtpu.ops.oracle), (n_queries, B) for 4-D lhsB; with return_carry,
-      a (scores, carry) tuple.
+      swtpu.ops.oracle), (n_queries, B) for 4-D lhsB; with n_segs > 1 the
+      lane axis becomes lane-major flat (lane, segment) pairs — (B*n_segs,)
+      with flat index lane*n_segs + seg; with return_carry, a
+      (scores, carry) tuple.
     """
     single = lhsB.ndim == 3
     if single:
@@ -576,6 +663,17 @@ def sw_wave(
         raise ValueError(
             f"unroll_block={unroll_block} must be a positive divisor of Lc={Lc}"
         )
+    if n_segs < 1 or (L2 - w) % n_segs != 0:
+        raise ValueError(f"n_segs={n_segs} must divide the column count {L2 - w}")
+    seg_cols = (L2 - w) // n_segs
+    if n_segs > 1:
+        if seg_cols < w:
+            raise ValueError(f"chained segment width {seg_cols} must be >= w={w}")
+        if unroll_block is not None:
+            # The separator schedule indexes STATIC step ids; a blocked
+            # fori_loop's step id is dynamic.  Planner keeps chained
+            # buckets off the blocked-unroll serving mode.
+            raise ValueError("n_segs > 1 requires the fully unrolled DP (unroll_block=None)")
     # The carry buffer is shared across the grid's query axis (each query
     # overwrites it in grid order), so both carry directions are
     # single-query-only: a multi-query carry would silently reflect only
@@ -586,7 +684,9 @@ def sw_wave(
     n_tiles = B // Bt
     n_chunks = L2 // Lc
     LT = L2 + w
-    hoist_oh = _should_hoist(L2, Lc, Bt, w, n_q * n_bands) if hoist is None else hoist
+    hoist_oh = (
+        _should_hoist(L2, Lc, Bt, w, n_q * n_bands, n_segs) if hoist is None else hoist
+    )
     kern = functools.partial(
         _wave_kernel,
         gap=gap,
@@ -595,9 +695,17 @@ def sw_wave(
         n_bands=n_bands,
         has_top_in=top_in is not None,
         # interpret honours an explicit block size (CPU-testable path);
-        # otherwise a rolled loop keeps interpret tracing tractable
-        unroll=(unroll_block or False) if interpret else (unroll_block or True),
+        # otherwise a rolled loop keeps interpret tracing tractable —
+        # except under chaining, whose separator schedule needs static
+        # step ids (tests use small Lc shapes there).
+        unroll=(
+            ((unroll_block or True) if n_segs > 1 else (unroll_block or False))
+            if interpret
+            else (unroll_block or True)
+        ),
         hoist_oh=hoist_oh,
+        n_segs=n_segs,
+        seg_cols=seg_cols,
     )
     in_specs = [
         pl.BlockSpec(
@@ -618,12 +726,14 @@ def sw_wave(
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
-                (1, 1, w, Bt), lambda i, qb, c: (i, qb // n_bands, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, n_segs * w, Bt),
+                lambda i, qb, c: (i, qb // n_bands, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, n_q, w, Bt), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, n_q, n_segs * w, Bt), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, LT, Bt), jnp.int32),
         ),
         scratch_shapes=_scratch_shapes(L2, Lc, Bt, w, hoist_oh)
@@ -635,7 +745,11 @@ def sw_wave(
         ),
         interpret=interpret,
     )(*inputs)
-    scores = jnp.moveaxis(jnp.max(best, axis=2), 1, 0).reshape(n_q, B)
+    # best: (n_tiles, n_q, n_segs*w, Bt) -> per-(lane, segment) max over the
+    # band rows, flattened LANE-MAJOR (lane*n_segs + seg) so lane-sharded
+    # mesh shards stay contiguous when concatenated.
+    seg_best = jnp.max(best.reshape(n_tiles, n_q, n_segs, w, Bt), axis=3)
+    scores = jnp.transpose(seg_best, (1, 0, 3, 2)).reshape(n_q, B * n_segs)
     scores = scores[0] if single else scores
     return (scores, carry) if return_carry else scores
 
