@@ -110,6 +110,14 @@ class SWConfig:
     # fori_loop iteration, compiling ~Lc/U x faster at ~20%/U runtime
     # overhead — the cold-start/serving-fleet trade.
     wave_unroll_block: Optional[int] = None
+    # Subject chaining on the wavefront path: lay S short subjects
+    # end-to-end per lane (swtpu.ops.wave_sw n_segs), amortising the
+    # w-step wavefront ramp and the lane quantum — the dominant pad
+    # sources on SwissProt-shaped length mixes.  None = auto: ON for the
+    # wavefront path except under wave_unroll_block (the separator
+    # schedule needs the fully unrolled DP) or query_shard.  The planner
+    # picks each bucket's chain factor by modeled padded-cell cost.
+    wave_chain: Optional[bool] = None
 
     # --- parallelism -------------------------------------------------------
     # Device mesh axis sizes: (data,) database sharding across chips.

@@ -17,6 +17,7 @@ overflows exactly).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import List, Optional, Tuple
 
@@ -105,6 +106,18 @@ class SearchEngine:
 
             self._mesh = make_mesh(config.n_devices, axis=config.mesh_axes[0])
         self._wave_enabled = self._resolve_wave()
+        # Subject chaining: auto ON for the wavefront path; OFF under the
+        # blocked-unroll serving mode (the separator schedule needs static
+        # step ids) and under query_shard (single-subject carry chains).
+        if config.wave_chain and config.wave_unroll_block is not None:
+            raise ValueError("wave_chain=True is incompatible with wave_unroll_block")
+        if config.wave_chain and config.query_shard:
+            raise ValueError("wave_chain=True is incompatible with query_shard")
+        self._wave_chain = (
+            config.wave_chain
+            if config.wave_chain is not None
+            else (config.wave_unroll_block is None and not config.query_shard)
+        )
         if config.query_shard and not self._wave_enabled:
             # Silently falling back to database sharding would ignore an
             # explicit latency-mode request (the systolic pipeline exists
@@ -295,6 +308,7 @@ class SearchEngine:
                     db,
                     device_put=dput,
                     lane_multiple=1 if cfg.query_shard else cfg.n_devices,
+                    chain=self._wave_chain,
                 ),
             )
 
@@ -384,7 +398,7 @@ class SearchEngine:
         cfg = self.config
         mesh = self._mesh
 
-        def wave_local(lhsB, subjT):
+        def wave_local(lhsB, subjT, n_segs=1):
             from ..ops import wave_sw
 
             L2, Bp = subjT.shape
@@ -396,6 +410,7 @@ class SearchEngine:
                 Bt=wave_sw.pick_bt_div(Bp),
                 interpret=cfg.interpret,
                 unroll_block=cfg.wave_unroll_block,
+                n_segs=n_segs,
             )
 
         if mesh is None:
@@ -415,9 +430,14 @@ class SearchEngine:
 
             n = cfg.n_devices
 
-            def wave_qs(lhsB, subjT):
+            def wave_qs(lhsB, subjT, n_segs=1):
                 from ..ops import wave_sw
 
+                if n_segs != 1:
+                    raise RuntimeError(
+                        "subject chaining is unavailable under query_shard "
+                        "(the planner packs with chain=False there)"
+                    )
                 L2, Bp = subjT.shape
                 Bt = wave_sw.pick_bt_div(Bp)
                 return make_wave_query_sharded_step(
@@ -444,9 +464,11 @@ class SearchEngine:
 
         out_spec = P(None, axis) if query_axis else P(axis)
 
-        def wave_sharded(lhsB, subjT):
+        def wave_sharded(lhsB, subjT, n_segs=1):
+            # scores are lane-major flat (lane, segment) pairs, so the
+            # lane-sharded output concatenates correctly across shards.
             return shard_map(
-                wave_local,
+                functools.partial(wave_local, n_segs=n_segs),
                 mesh=mesh,
                 in_specs=(P(), P(None, axis)),
                 out_specs=out_spec,
@@ -486,10 +508,10 @@ class SearchEngine:
         stage_int8 = self._stage_int8
         wave_one = self._wave_fn()
 
-        def step(profile, lhsB, wave_stacks, stacks, seg_inputs, seg_sats):
+        def step(profile, lhsB, wave_stacks, stacks, seg_inputs, seg_sats, wave_segs=()):
             outs = []
-            for subjT in wave_stacks:
-                outs.append(wave_one(lhsB, subjT))
+            for subjT, n_segs in zip(wave_stacks, wave_segs or (1,) * len(wave_stacks)):
+                outs.append(wave_one(lhsB, subjT, n_segs))
             for stack in stacks:
                 width = stack.shape[2]
                 sat = xla_sw.fast16_sat(cfg.gap_penalty, width)
@@ -548,7 +570,7 @@ class SearchEngine:
                 return jnp.zeros((0,), jnp.int32)
             return jnp.concatenate([o.reshape(-1) for o in outs])
 
-        self._packed_step_fn = jax.jit(step, static_argnames=("seg_sats",))
+        self._packed_step_fn = jax.jit(step, static_argnames=("seg_sats", "wave_segs"))
         return self._packed_step_fn
 
     def _topk_step(self):
@@ -562,12 +584,15 @@ class SearchEngine:
             return self._topk_step_fn
         wave_one = self._wave_fn()
 
-        def step(lhsB, wave_stacks, k):
-            outs = [wave_one(lhsB, subjT) for subjT in wave_stacks]
+        def step(lhsB, wave_stacks, k, wave_segs=()):
+            outs = [
+                wave_one(lhsB, subjT, n_segs)
+                for subjT, n_segs in zip(wave_stacks, wave_segs or (1,) * len(wave_stacks))
+            ]
             flat = jnp.concatenate(outs)
             return jax.lax.top_k(flat, k)
 
-        self._topk_step_fn = jax.jit(step, static_argnames=("k",))
+        self._topk_step_fn = jax.jit(step, static_argnames=("k", "wave_segs"))
         return self._topk_step_fn
 
     def _device_topk_hits(self, packed: PackedDatabase, lhsB_dev, k: int, db: Database):
@@ -583,7 +608,10 @@ class SearchEngine:
         total = int(ids_flat.shape[0])
         kk = min(total, max(4 * k + 64, k))
         vals, pos = self._topk_step()(
-            lhsB_dev, tuple(g.stack for g in packed.wave_groups), k=kk
+            lhsB_dev,
+            tuple(g.stack for g in packed.wave_groups),
+            k=kk,
+            wave_segs=tuple(g.n_segs for g in packed.wave_groups),
         )
         vals, pos = np.asarray(vals), np.asarray(pos)
         cand_ids = ids_flat[pos]
@@ -620,11 +648,14 @@ class SearchEngine:
             return self._wave_many_fn
         wave_multi = self._wave_fn(query_axis=True)
 
-        def step(lhsB4, wave_stacks):
-            outs = [wave_multi(lhsB4, subjT) for subjT in wave_stacks]
+        def step(lhsB4, wave_stacks, wave_segs=()):
+            outs = [
+                wave_multi(lhsB4, subjT, n_segs)
+                for subjT, n_segs in zip(wave_stacks, wave_segs or (1,) * len(wave_stacks))
+            ]
             return jnp.concatenate(outs, axis=1)  # (Q, total flat rows)
 
-        self._wave_many_fn = jax.jit(step)
+        self._wave_many_fn = jax.jit(step, static_argnames=("wave_segs",))
         return self._wave_many_fn
 
     def _query_pieces(self, queries: List[Query], serving: bool = True):
@@ -691,8 +722,8 @@ class SearchEngine:
         ]
         qpad_of = {i: qpad for qpad, piece, _ in pieces for i in piece}
         step = self._wave_many_step()
-        buckets = plan_wave_buckets(db, lane_multiple=cfg.n_devices)
-        padded_total = sum(bpad * (width + wave_sw.W) for width, _, _, bpad in buckets)
+        buckets = plan_wave_buckets(db, lane_multiple=cfg.n_devices, chain=self._wave_chain)
+        padded_total = sum(bpad * (width + wave_sw.W) for width, _, _, bpad, _ in buckets)
 
         scores = [np.zeros(db.n, dtype=np.int32) for _ in queries]
         inflight: List[Tuple[np.ndarray, List[Tuple[List[int], object]]]] = []
@@ -708,9 +739,9 @@ class SearchEngine:
         t_device = time.perf_counter()
         pack_time = 0.0
         try:
-            for width, ids, bt, bpad in buckets:
+            for width, ids, bt, bpad, n_segs in buckets:
                 t0 = time.perf_counter()
-                group = pack_wave_group(db, width, ids, bt, bpad)
+                group = pack_wave_group(db, width, ids, bt, bpad, n_segs)
                 pack_time += time.perf_counter() - t0
                 if self._mesh is None:
                     subj_dev = jnp.asarray(group.stack)
@@ -721,7 +752,13 @@ class SearchEngine:
                         group.stack, NamedSharding(self._mesh, P(None, cfg.mesh_axes[0]))
                     )
                 inflight.append(
-                    (group.ids, [(piece, step(lhs, (subj_dev,))) for _, piece, lhs in pieces])
+                    (
+                        group.ids,
+                        [
+                            (piece, step(lhs, (subj_dev,), wave_segs=(group.n_segs,)))
+                            for _, piece, lhs in pieces
+                        ],
+                    )
                 )
                 if len(inflight) > 2:  # bound device residency to ~2 buckets
                     drain(inflight.pop(0))
@@ -768,12 +805,13 @@ class SearchEngine:
         out: List[Optional[SearchResult]] = [None] * len(queries)
         step = self._wave_many_step()
         stacks = tuple(g.stack for g in packed.wave_groups)
+        segs = tuple(g.n_segs for g in packed.wave_groups)
         for qpad, piece in self._query_pieces(queries):
             t_start = time.perf_counter()
             lhs_dev = self._piece_lhs(queries, qpad, piece)
             t_device = time.perf_counter()
             try:
-                flat_all = np.asarray(step(lhs_dev, stacks))  # (Q, total)
+                flat_all = np.asarray(step(lhs_dev, stacks, wave_segs=segs))  # (Q, total)
             except Exception as e:
                 from ..utils.memory import reraise_oom
 
@@ -1039,6 +1077,7 @@ class SearchEngine:
                     tuple(g.stack for g in packed.groups),
                     tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
                     tuple(g.sat for g in packed.seg_groups),
+                    wave_segs=tuple(g.n_segs for g in packed.wave_groups),
                 )
             )
         except Exception as e:  # surface XLA OOM aborts actionably

@@ -139,6 +139,7 @@ def _scratch_shapes(L2: int, Lc: int, Bt: int, w: int, hoist_oh: bool):
         pltpu.VMEM((w, Bt), jnp.int8),  # tail
         pltpu.VMEM((2, w, Bt), jnp.int32),  # d
         pltpu.VMEM((w, Bt), jnp.int32),  # b (current-segment best carry)
+        pltpu.VMEM((w, Bt), jnp.int32),  # snap (separator snapshot carry)
     ]
 
 
@@ -147,18 +148,34 @@ def _sep_table(n_segs: int, seg_cols: int, Lc: int, w: int):
 
     Segment s < n_segs-1 ends at column c = (s+1)*seg_cols - 1; the band's
     anti-diagonal sweep visits that column once per row, at global step
-    t = c + r.  Returns {tloc: ((chunk, seg, row), ...)} so the unrolled DP
-    loop emits the snapshot/zero ops ONLY at those static steps (gated on
-    the dynamic chunk id) — ~(n_segs-1)*w of the band's L2 steps, i.e.
-    amortised well below one VPU op/cell.
+    t = c + r.  Returns (sweep, writes):
+
+    * sweep {tloc: ((chunk, row), ...)} — steps where a separator crosses
+      the band: stash best[row] into the carried snapshot block and zero
+      the h/d1s/best row (3-4 masked selects, emitted ONLY at these
+      ~(n_segs-1)*w static steps — amortised well below one VPU op/cell);
+    * writes {tloc: ((chunk, seg), ...)} — the sweep's LAST step per
+      separator, where the completed (w, Bt) snapshot block max-writes
+      into out slot ``seg`` in ONE conditional region (per-row conditional
+      writes instead make interpret/Mosaic compile cost blow up with
+      (n_segs-1)*w tiny conds).
+
+    Sweeps of adjacent separators never overlap (seg_cols >= w), so one
+    carried snapshot block serves all of them.
     """
-    table: dict = {}
+    sweep: dict = {}
+    writes: dict = {}
     for s in range(n_segs - 1):
         c = (s + 1) * seg_cols - 1
         for r in range(w):
             t = c + r
-            table.setdefault(t % Lc, []).append((t // Lc, s, r))
-    return {k: tuple(v) for k, v in table.items()}
+            sweep.setdefault(t % Lc, []).append((t // Lc, r))
+        tw = c + w - 1
+        writes.setdefault(tw % Lc, []).append((tw // Lc, s))
+    return (
+        {k: tuple(v) for k, v in sweep.items()},
+        {k: tuple(v) for k, v in writes.items()},
+    )
 
 
 def _should_hoist(L2: int, Lc: int, Bt: int, w: int, n_qb: int, n_segs: int = 1) -> bool:
@@ -259,6 +276,7 @@ def _wave_kernel(
     has_top_in: bool = False,
     unroll: bool = True,
     hoist_oh: bool = False,
+    roll_oh: bool = False,
     n_segs: int = 1,
     seg_cols: int = 0,
 ):
@@ -279,6 +297,7 @@ def _wave_kernel(
         tail_ref,
         d_ref,
         b_ref,
+        snap_ref,
         sems,
     ) = refs
     i = pl.program_id(0)
@@ -372,9 +391,40 @@ def _wave_kernel(
             oh_t = (tail.astype(jnp.int32)[:, None, :] == aid_t).astype(jnp.int8)
             oh_ref[0 : w * A32, :] = oh_t.reshape(w * A32, Bt)
             tail_ref[:] = subj_ref[pl.ds(Lc - w, w), :]
-        aid_c = jax.lax.broadcasted_iota(jnp.int32, (Lc, A32, Bt), 1)
-        oh_c = (subj_ref[:].astype(jnp.int32)[:, None, :] == aid_c).astype(jnp.int8)
-        oh_ref[pl.ds(oh0 + w * A32, Lc * A32), :] = oh_c.reshape(Lc * A32, Bt)
+        # Blocked build: one (Lc, A32, Bt) int32 iota/compare would put a
+        # 4*Lc*A32*Bt-byte temporary (16 MB at Lc=256/Bt=512) on Mosaic's
+        # scoped-vmem stack — a hard compile-time OOM on current libtpu
+        # when it coexists with the scratch (every multi-band Lc=256/Bt=512
+        # shape failed).  16-column blocks shrink that to ~1 MB.  The block
+        # loop UNROLLS when the build runs once per program (runtime-
+        # critical: a rolled fori here measures -9% end-to-end on
+        # non-hoisted multi-chunk shapes) and ROLLS when the hoisted build
+        # amortises across the (query, band) grid axis (runtime-noise, and
+        # the hoisted-unrolled combination is ~10x slower to Mosaic-compile).
+        CB = 16
+        aid_b = jax.lax.broadcasted_iota(jnp.int32, (CB, A32, Bt), 1)
+
+        def _build_block(cb, _):
+            sub = subj_ref[pl.ds(cb * CB, CB), :].astype(jnp.int32)
+            oh_b = (sub[:, None, :] == aid_b).astype(jnp.int8)
+            oh_ref[pl.ds(oh0 + w * A32 + cb * (CB * A32), CB * A32), :] = oh_b.reshape(
+                CB * A32, Bt
+            )
+            return _
+
+        if roll_oh:
+            jax.lax.fori_loop(0, Lc // CB, _build_block, 0)
+        else:
+            for cb in range(Lc // CB):
+                _build_block(cb, 0)
+        if Lc % CB:  # static tail block for non-ladder Lc (tests)
+            tail_n = Lc % CB
+            aid_s = jax.lax.broadcasted_iota(jnp.int32, (tail_n, A32, Bt), 1)
+            sub = subj_ref[pl.ds(Lc - tail_n, tail_n), :].astype(jnp.int32)
+            oh_s = (sub[:, None, :] == aid_s).astype(jnp.int8)
+            oh_ref[pl.ds(oh0 + w * A32 + (Lc - tail_n) * A32, tail_n * A32), :] = (
+                oh_s.reshape(tail_n * A32, Bt)
+            )
 
     if hoist_oh:
         pl.when(qb == 0)(_build_onehot)
@@ -385,16 +435,20 @@ def _wave_kernel(
     # the group at base tlb covers sp rows [LOOKB+tlb, LOOKB+tlb+G) = scores
     # (r, t0 + tlb + tl - r%8); its rhs rows start at column-local
     # tlb + LOOKB + 1.  The lhs K-tail is zero, masking any pad rows.
+    # UNROLLED, deliberately: a rolled fori_loop here measures -25%
+    # end-to-end (Mosaic does not co-issue the MXU dots with neighbouring
+    # VPU work across fori regions); the per-group int32 temporaries are
+    # reused fine by the scheduler, so unrolling costs no scoped vmem.
     lhs = lhs_ref[0, 0]
     for g0 in range((Lc + LOOKB) // G):
         tlb = g0 * G - LOOKB
         sm = jax.lax.dot_general(
             lhs,
-            oh_ref[pl.ds(oh0 + (tlb + LOOKB + 1) * A32, KPAD), :],
+            oh_ref[pl.ds(oh0 + (g0 * G + 1) * A32, KPAD), :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (G*w, Bt)
-        sp_ref[pl.ds(tlb + LOOKB, G), :, :] = sm.astype(jnp.int8).reshape(G, w, Bt)
+        sp_ref[pl.ds(g0 * G, G), :, :] = sm.astype(jnp.int8).reshape(G, w, Bt)
 
     if has_top_in:
 
@@ -460,50 +514,60 @@ def _wave_kernel(
     # blocked unroll, and the rolled interpret loop.
     brow_ref[pl.ds(0, 1), :] = lastb_ref[:]
     carry = (d_ref[1], d_ref[0], b_ref[:])
+    if n_segs > 1:
+        carry = carry + (snap_ref[:],)
 
     # Subject chaining (n_segs > 1): segment s ends at static column
     # c = (s+1)*seg_cols - 1, which the wavefront visits at steps t = c + r
     # — so only those (n_segs-1)*w static steps carry extra ops.  At each,
-    # gated on the (dynamic) owning chunk: snapshot best[r] into out slot s
-    # (max-accumulate: out spans all bands), then zero best[r] AND h[r] so
-    # the left/diag gap chains cannot leak segment s's scores into segment
-    # s+1 (the decay-through-pad behaviour that is harmless on dedicated
-    # lanes is fatal across chained subjects).  Ordering: AFTER the brow
-    # write — the band carry at column c must keep the TRUE bottom value
-    # for the next band's top boundary (segment s still owns that column).
-    sep_ops = _sep_table(n_segs, seg_cols, Lc, w) if n_segs > 1 else {}
-    row_ids = (
-        jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0) if sep_ops else None
+    # gated on the (dynamic) owning chunk: stash best[r] into the carried
+    # snapshot block, then zero best[r], h[r] AND d1s[r] so the left/diag
+    # gap chains cannot leak segment s's scores into segment s+1 (the
+    # decay-through-pad behaviour that is harmless on dedicated lanes is
+    # fatal across chained subjects).  d1s[r] is the diag input of segment
+    # s+1's first column at the next step: for r >= 1 it equals h[r-1],
+    # already killed at the previous sweep step, but for r == 0 it is the
+    # BAND CARRY's top value H_top[c] — segment s's bottom row from the
+    # band above — and must be killed or it leaks across bands.  Ordering:
+    # AFTER the brow write — the band carry at column c must keep the TRUE
+    # bottom value for the next band's top boundary (segment s still owns
+    # that column).  When a sweep completes (its last row, t = c + w - 1),
+    # the snapshot block max-writes into out slot s in ONE conditional
+    # region (out spans all bands, hence max).
+    sweep_ops, write_ops = (
+        _sep_table(n_segs, seg_cols, Lc, w) if n_segs > 1 else ({}, {})
     )
+    use_snap = bool(sweep_ops)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0) if use_snap else None
 
     def step_row(tloc, carry):
-        carry = step(tloc, carry)
-        brow_ref[pl.ds(tloc + 1, 1), :] = carry[0][w - 1 : w, :]
-        # sep_ops is only populated for n_segs > 1, where the loop is
-        # statically unrolled (tloc is a Python int); the rolled/blocked
-        # loops (traced tloc) always see it empty and skip at trace time.
-        for ck, s, r in (sep_ops.get(tloc, ()) if sep_ops else ()):
-            h, d1s, best = carry
-            pred = chunk == ck
+        if use_snap:
+            h, d1s, best = step(tloc, carry[:3])
+            snap = carry[3]
+        else:
+            h, d1s, best = step(tloc, carry)
+            snap = None
+        brow_ref[pl.ds(tloc + 1, 1), :] = h[w - 1 : w, :]
+        # sweep/write tables are only populated for n_segs > 1, where the
+        # loop is statically unrolled (tloc is a Python int); the rolled/
+        # blocked loops (traced tloc) never consult them.
+        if use_snap:
+            for ck, r in sweep_ops.get(tloc, ()):
+                kill = jnp.logical_and(chunk == ck, row_ids == r)  # (w, 1)
+                snap = jnp.where(kill, best, snap)
+                h = jnp.where(kill, 0, h)
+                d1s = jnp.where(kill, 0, d1s)
+                best = jnp.where(kill, 0, best)
+            for ck, s in write_ops.get(tloc, ()):
 
-            @pl.when(pred)
-            def _snap(s=s, r=r, best_row=best[r : r + 1, :]):
-                out_ref[0, 0, pl.ds(s * w + r, 1), :] = jnp.maximum(
-                    out_ref[0, 0, pl.ds(s * w + r, 1), :], best_row
-                )
+                @pl.when(chunk == ck)
+                def _write_seg(s=s, snap=snap):
+                    out_ref[0, 0, pl.ds(s * w, w), :] = jnp.maximum(
+                        out_ref[0, 0, pl.ds(s * w, w), :], snap
+                    )
 
-            kill = jnp.logical_and(pred, row_ids == r)  # (w, 1) broadcast
-            # d1s[r] is the diag input of segment s+1's first column at the
-            # next step: for r >= 1 it equals h[r-1], already killed at the
-            # previous sweep step, but for r == 0 it is the BAND CARRY's
-            # top value H_top[c] — segment s's bottom row from the band
-            # above — and must be killed here or it leaks across bands.
-            carry = (
-                jnp.where(kill, 0, h),
-                jnp.where(kill, 0, d1s),
-                jnp.where(kill, 0, best),
-            )
-        return carry
+            return (h, d1s, best, snap)
+        return (h, d1s, best)
 
     if unroll is True:
         # Fully unrolled (Lc <= 256 by construction): a lax.fori_loop here
@@ -527,7 +591,11 @@ def _wave_kernel(
         carry = jax.lax.fori_loop(0, Lc // U, blk, carry)
     else:  # interpret mode: a rolled loop keeps CPU-test tracing tractable
         carry = jax.lax.fori_loop(0, Lc, step_row, carry)
-    d1, d1s_last, best = carry
+    if n_segs > 1:
+        d1, d1s_last, best, snap = carry
+        snap_ref[:] = snap
+    else:
+        d1, d1s_last, best = carry
     lastb_ref[:] = brow_ref[pl.ds(Lc, 1), :]
     d_ref[0] = d1s_last
     d_ref[1] = d1
@@ -704,6 +772,9 @@ def sw_wave(
             else (unroll_block or True)
         ),
         hoist_oh=hoist_oh,
+        # Roll the one-hot build only when it amortises across the grid's
+        # (query, band) axis; see the in-kernel comment.
+        roll_oh=hoist_oh and n_q * n_bands > 1,
         n_segs=n_segs,
         seg_cols=seg_cols,
     )

@@ -290,27 +290,45 @@ def wave_width_edges(max_len: int, ratio: float = 1.12) -> List[int]:
 class WaveGroup:
     """One wavefront bucket: transposed (width+32, Bpad) int8 subjects.
 
-    ``ids`` is (Bpad,) int64 with -1 marking pad lanes; ``lc``/``bt`` are the
-    kernel's chunk/lane-tile params (swtpu.ops.wave_sw.pick_lc / pick_bt).
+    ``width`` is the TOTAL column count of a lane; with subject chaining
+    (``n_segs`` > 1) each lane holds n_segs subjects in equal
+    width/n_segs column segments (swtpu.ops.wave_sw n_segs).  ``ids`` is
+    (Bpad * n_segs,) int64 LANE-MAJOR — ids[lane*n_segs + s] — matching
+    the kernel's flat score order; -1 marks pad slots.  ``lc``/``bt`` are
+    the kernel's chunk/lane-tile params.
     """
 
     width: int
     lc: int
     bt: int
     stack: object  # (width+32, Bpad) int8 — np.ndarray or jax.Array
-    ids: np.ndarray  # (Bpad,) int64, -1 = pad lane
+    ids: np.ndarray  # (Bpad * n_segs,) int64 lane-major, -1 = pad slot
+    n_segs: int = 1
+
+    @property
+    def lanes(self) -> int:
+        return int(self.ids.shape[0]) // self.n_segs
+
+    @property
+    def seg_cols(self) -> int:
+        return self.width // self.n_segs
 
     @property
     def rows(self) -> int:
+        """Flat score-slot count: lanes * n_segs (kernel output length)."""
         return int(self.ids.shape[0])
 
     @property
     def cells(self) -> int:
-        return self.rows * (self.width + 32)
+        return self.lanes * (self.width + 32)
 
 
 def pack_database_wave(
-    db: Database, device_put=None, max_rows: int = 1 << 20, lane_multiple: int = 1
+    db: Database,
+    device_put=None,
+    max_rows: int = 1 << 20,
+    lane_multiple: int = 1,
+    chain: bool = True,
 ) -> Tuple:
     """Pack a database into wavefront buckets (one per merged ladder rung).
 
@@ -318,22 +336,84 @@ def pack_database_wave(
     Buckets larger than max_rows split, so the carry buffer stays bounded.
     ``lane_multiple`` (the mesh size) additionally pads each bucket's lane
     count to bt * lane_multiple so a shard_map split leaves every shard a
-    whole number of lane tiles.
+    whole number of lane tiles.  ``chain`` lets the planner lay several
+    short subjects end-to-end per lane (wave_sw n_segs).
     """
     return tuple(
-        pack_wave_group(db, width, ids, bt, bpad, device_put=device_put)
-        for width, ids, bt, bpad in plan_wave_buckets(db, max_rows, lane_multiple)
+        pack_wave_group(db, width, ids, bt, bpad, n_segs, device_put=device_put)
+        for width, ids, bt, bpad, n_segs in plan_wave_buckets(
+            db, max_rows, lane_multiple, chain
+        )
     )
 
 
+# Chain factors the planner may consider.  The cost model keeps chaining
+# off wherever it does not pay (lane-quantum-bound small buckets, wide
+# rungs whose ramp share is already small).
+CHAIN_OPTIONS = (1, 2, 3, 4, 6, 8)
+
+
+def _chain_seg_cols(width: int, n_segs: int, w: int = 32) -> int | None:
+    """Smallest per-segment width >= ``width`` whose chained total
+    n_segs*ws + w lands on the Lc ladder (zero kernel round-up)."""
+    from ..ops import wave_sw
+
+    ws = width
+    for _ in range(64):
+        if wave_sw.has_lc(n_segs * ws + w):
+            return ws
+        ws += 8
+    return None
+
+
+# Chunk-size throughput factor: measured steady-state kernel rate fits
+# rate ~ BT_SPEED[bt] / (1 + _LC_COST/Lc) — the staging lookback re-does
+# (w-8)/Lc of the matmul work per chunk and per-chunk fixed costs scale
+# the same way (A/B: Lc=256 118.6 vs Lc=160 111.4 GCUPS padded at equal
+# Bt, tools/chain_bench.py; the fit gives ~31, physical lower bound 24).
+_LC_COST = 31.0
+
+
+def _best_chain(nrows: int, width: int, lane_multiple: int, chain: bool):
+    """(cost, n_segs, seg_cols, bt, bpad) minimising modeled padded time.
+
+    Chaining S subjects per lane trades S-fold fewer lanes (amortising the
+    lane quantum) and an S-fold-amortised wavefront ramp against the
+    chunk-size penalty (a chained total width may land on a smaller Lc —
+    the separator ops themselves are ~free, wave_sw._sep_table), so the
+    decision weighs padded cells x the measured lane-tile and chunk-size
+    speed factors.
+    """
+    from ..ops import wave_sw
+
+    w = wave_sw.W
+    best = None
+    for S in CHAIN_OPTIONS if chain else (1,):
+        if S > nrows:
+            break
+        ws = width if S == 1 else _chain_seg_cols(width, S)
+        if ws is None:
+            continue
+        lanes = -(-nrows // S)
+        bt, bpad = wave_sw.pick_lanes(lanes, lane_multiple)
+        lc = wave_sw.pick_lc(S * ws)
+        cost = (
+            bpad * (S * ws + w) * (1.0 + _LC_COST / lc) / wave_sw.BT_SPEED[bt]
+        )
+        if best is None or cost < best[0]:
+            best = (cost, S, ws, bt, bpad)
+    return best
+
+
 def plan_wave_buckets(
-    db: Database, max_rows: int = 1 << 20, lane_multiple: int = 1
-) -> List[Tuple[int, np.ndarray, int, int]]:
+    db: Database, max_rows: int = 1 << 20, lane_multiple: int = 1, chain: bool = True
+) -> List[Tuple[int, np.ndarray, int, int, int]]:
     """Plan wavefront buckets without materialising them.
 
-    Returns [(width, ids, bt, padded lane count)] — the shared planner
-    behind :func:`pack_database_wave` (resident) and
-    :func:`iter_wave_groups` (streaming).
+    Returns [(total width, ids, bt, padded lane count, n_segs)] — the
+    shared planner behind :func:`pack_database_wave` (resident) and
+    :func:`iter_wave_groups` (streaming).  ``ids`` is the bucket's member
+    list; member k sits on lane k // n_segs, segment k % n_segs.
     """
     from ..ops import wave_sw
 
@@ -365,13 +445,11 @@ def plan_wave_buckets(
     # engine's fused step XLA pipelines the per-bucket pallas calls and
     # A/B runs show padding dominates (E=2900/D=410: 72.5 GCUPS headline;
     # E=300/D=60: 84.1; E=0/D=0: 87.5) — so the fused-step optimum is the
-    # pure speed-weighted padded-cell objective.
-    E_LANES = 0.0  # per-bucket fixed cost, lane-equivalents
-    D_COLS = 0.0  # per-band fixed cost, column-equivalents
+    # pure speed-weighted padded-cell objective, now minimised jointly
+    # over rung merges AND per-bucket chain factors (_best_chain).
 
     def bucket_cost(nrows: int, width: int) -> float:
-        bt, bpad = wave_sw.pick_lanes(nrows, lane_multiple)
-        return (bpad + E_LANES) * (width + wave_sw.W + D_COLS) / wave_sw.BT_SPEED[bt]
+        return _best_chain(nrows, width, lane_multiple, chain)[0]
 
     r = len(occ)
     best = [0.0] * (r + 1)
@@ -391,51 +469,83 @@ def plan_wave_buckets(
         ids_merged = np.concatenate([idx_pos[which == e] for e in occ[i:j]])
         rung_list.append((int(edges[occ[j - 1]]), ids_merged))
         j = i
-    buckets: List[Tuple[int, np.ndarray, int, int]] = []
+    buckets: List[Tuple[int, np.ndarray, int, int, int]] = []
     for width, ids_all in sorted(rung_list):
-        for s in range(0, ids_all.shape[0], max_rows):
-            ids = ids_all[s : s + max_rows]
+        _, n_segs, ws, _, _ = _best_chain(ids_all.shape[0], width, lane_multiple, chain)
+        for s in range(0, ids_all.shape[0], max_rows * n_segs):
+            ids = ids_all[s : s + max_rows * n_segs]
             # Adaptive lane quantum: trade pad lanes against lane-tile
             # speed with the measured BT_SPEED model.
-            bt, bpad = wave_sw.pick_lanes(ids.shape[0], lane_multiple)
-            buckets.append((width, ids, bt, bpad))
+            bt, bpad = wave_sw.pick_lanes(-(-ids.shape[0] // n_segs), lane_multiple)
+            buckets.append((ws * n_segs, ids, bt, bpad, n_segs))
     return buckets
 
 
-def pack_wave_group(db: Database, width: int, ids: np.ndarray, bt: int, bpad: int, device_put=None) -> WaveGroup:
-    """Materialise one wavefront bucket (transposed int8 stack + id map)."""
+def pack_wave_group(
+    db: Database,
+    width: int,
+    ids: np.ndarray,
+    bt: int,
+    bpad: int,
+    n_segs: int = 1,
+    device_put=None,
+) -> WaveGroup:
+    """Materialise one wavefront bucket (transposed int8 stack + id map).
+
+    With chaining (n_segs > 1) member k packs into lane k // n_segs at
+    column offset (k % n_segs) * seg_cols — one native transposed-pack
+    call per segment, writing disjoint row bands of the stack.
+    """
     from ..ops import wave_sw
 
     l2 = width + wave_sw.W
+    ws = width // n_segs
     stack = None
     if db.residues.shape[0]:
         from .. import native
 
-        stack = native.pack_bucket_T_native(
-            db.residues, db.offsets, ids.astype(np.int32), l2, bpad, PAD_SUBJECT
-        )
+        if n_segs == 1:
+            stack = native.pack_bucket_T_native(
+                db.residues, db.offsets, ids.astype(np.int32), l2, bpad, PAD_SUBJECT
+            )
+        else:
+            parts = [
+                native.pack_bucket_T_native(
+                    db.residues, db.offsets, ids[s::n_segs].astype(np.int32), ws, bpad, PAD_SUBJECT
+                )
+                for s in range(n_segs)
+            ]
+            if all(p is not None for p in parts):
+                parts.append(np.full((wave_sw.W, bpad), PAD_SUBJECT, dtype=np.int8))
+                stack = np.vstack(parts)
     if stack is None:  # NumPy fallback: row-major gather + transpose
-        flat = pack_batch(db, Batch(ids=ids.astype(np.int32), rows=bpad, width=width))
-        stack = wave_sw.transpose_pad(flat, width)
-    full_ids = np.full(bpad, -1, dtype=np.int64)
-    full_ids[: ids.shape[0]] = ids
+        stack = np.full((l2, bpad), PAD_SUBJECT, dtype=np.int8)
+        for s in range(n_segs):
+            ids_s = ids[s::n_segs].astype(np.int32)
+            flat = pack_batch(db, Batch(ids=ids_s, rows=bpad, width=ws))
+            stack[s * ws : (s + 1) * ws, :] = flat.T
+    full_ids = np.full(bpad * n_segs, -1, dtype=np.int64)
+    full_ids[: ids.shape[0]] = ids  # member k -> (lane k//S, seg k%S) == flat k
     return WaveGroup(
         width=width,
         lc=wave_sw.pick_lc(width),
         bt=bt,
         stack=device_put(stack) if device_put is not None else stack,
         ids=full_ids,
+        n_segs=n_segs,
     )
 
 
-def iter_wave_groups(db: Database, max_rows: int = 1 << 20, lane_multiple: int = 1):
+def iter_wave_groups(
+    db: Database, max_rows: int = 1 << 20, lane_multiple: int = 1, chain: bool = True
+):
     """Yield host-resident WaveGroups ONE at a time (bounded memory).
 
     The streaming analogue of :func:`pack_database_wave` for databases too
     large to keep resident: callers upload/score/discard each bucket.
     """
-    for width, ids, bt, bpad in plan_wave_buckets(db, max_rows, lane_multiple):
-        yield pack_wave_group(db, width, ids, bt, bpad)
+    for width, ids, bt, bpad, n_segs in plan_wave_buckets(db, max_rows, lane_multiple, chain):
+        yield pack_wave_group(db, width, ids, bt, bpad, n_segs)
 
 
 def scatter_scores(plan: BatchPlan, per_batch_scores: Sequence[np.ndarray]) -> np.ndarray:

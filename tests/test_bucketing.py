@@ -101,13 +101,13 @@ def test_plan_wave_buckets_and_iter_groups():
     db = database_from_sequences(seqs)
 
     buckets = plan_wave_buckets(db, max_rows=128)
-    all_ids = np.concatenate([ids for _, ids, _, _ in buckets])
+    all_ids = np.concatenate([ids for _, ids, _, _, _ in buckets])
     expect = np.nonzero(db.lengths > 0)[0]
     assert sorted(all_ids.tolist()) == sorted(expect.tolist())
-    for width, ids, bt, bpad in buckets:
-        assert ids.shape[0] <= 128  # max_rows respected
-        assert bpad % bt == 0 and bpad >= ids.shape[0]
-        assert (db.lengths[ids] <= width).all()
+    for width, ids, bt, bpad, n_segs in buckets:
+        assert ids.shape[0] <= 128 * n_segs  # max_rows (lanes) respected
+        assert bpad % bt == 0 and bpad * n_segs >= ids.shape[0]
+        assert (db.lengths[ids] <= width // n_segs).all()
 
     a = pack_database_wave(db, max_rows=128)
     b = list(iter_wave_groups(db, max_rows=128))
