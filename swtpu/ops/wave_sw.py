@@ -30,11 +30,22 @@ Key TPU mechanics (see tools/pallas_wave.py for the derivation):
 * **Hoisted one-hot.**  The subject one-hot depends only on (tile, chunk):
   when the full tile width fits the VMEM budget (always, single-chunk) it
   is built once per lane tile and reused across every band and query of
-  the grid's folded (query, band) axis.
+  the grid's folded (query, band) axis.  The build is 16-column-blocked —
+  a monolithic (Lc, 32, Bt) iota/compare temporary blows Mosaic's 16 MB
+  scoped-vmem stack at Lc=256/Bt=512 — and the block loop unrolls exactly
+  when the build is runtime-critical (runs once per program).
+* **Subject chaining.**  ``n_segs`` lays S subjects end-to-end per lane in
+  equal column segments, dividing the w-step ramp and the lane quantum by
+  S for short sequences.  Separators sit at STATIC columns, so isolation
+  (snapshot the per-segment best, kill the h/d1s/best row so gap chains
+  cannot decay across subjects) costs masked selects at only (S-1)*w of
+  the unrolled steps plus one conditional out-write per separator
+  (_sep_table) — ~free against the MXU staging bound.
 * **Blocked unroll.**  The DP steps fully unroll by default (fastest
   steady state); ``unroll_block=U`` traces U steps per fori_loop
   iteration for ~Lc/U-fold faster Mosaic compiles on cold-start-sensitive
-  serving paths.
+  serving paths (mutually exclusive with chaining, whose separator
+  schedule needs static step ids).
 
 Design provenance: replaces the reference's one-thread-per-alignment serial
 fill (src/SWSolver.cu:201-264) with the intra-matrix anti-diagonal
