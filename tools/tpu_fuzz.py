@@ -112,9 +112,67 @@ def main_shard(n_cases: int = 3, seed: int = 555) -> int:
     return 0 if n_ok == n_cases else 1
 
 
+def main_chain(n_cases: int = 6, seed: int = 777) -> int:
+    """Subject chaining (n_segs lanes-of-S) vs XLA exact on real Mosaic.
+
+    Random chain factor / segment width / query length / gap, random
+    subject content including empty segments; asserts bit-exact per
+    (lane, segment) flat slot and zero on pad slots."""
+    from swtpu.utils import bucketing
+
+    rng = np.random.default_rng(seed)
+    n_ok = 0
+    for i in range(n_cases):
+        S = int(rng.choice([2, 3, 4, 6, 8]))
+        max_len = int(rng.choice([48, 96, 150, 224]))
+        ws = bucketing._chain_seg_cols(max_len, S)
+        if ws is None:
+            n_ok += 1
+            continue
+        lanes = int(rng.choice([128, 256]))
+        Q = int(rng.integers(5, 500))
+        gap = int(rng.choice([1, 2, 3]))
+        mat = blosum50_ref() if i % 2 else get_matrix("blosum50")
+        L2 = S * ws + wave_sw.W
+        n_subj = lanes * S - int(rng.integers(0, lanes))
+        stack = np.full((L2, lanes), xla_sw.PAD_SUBJECT, np.int8)
+        flatw = max(256, -(-max_len // 256) * 256)
+        flat = np.full((n_subj, flatw), xla_sw.PAD_SUBJECT, np.int8)
+        for k in range(n_subj):
+            n = int(rng.integers(0, max_len + 1))
+            s = rng.integers(0, 25, n).astype(np.int8)
+            stack[(k % S) * ws : (k % S) * ws + n, k // S] = s
+            flat[k, :n] = s
+        prof = xla_sw.make_profile(
+            rng.integers(0, 25, Q).astype(np.int8), mat, pad_rows_to=-(-Q // 32) * 32
+        )
+        lhsB = wave_sw.build_lhs_banded(prof)
+        got = np.asarray(
+            wave_sw.sw_wave(
+                jnp.asarray(lhsB),
+                jnp.asarray(stack),
+                gap=gap,
+                Lc=wave_sw.pick_lc(S * ws),
+                Bt=128,
+                n_segs=S,
+            )
+        )
+        want = np.asarray(
+            xla_sw.sw_score_bucket(jnp.asarray(prof), jnp.asarray(flat), gap=gap, strip=32)
+        )
+        ok = bool((got[:n_subj] == want).all() and (got[n_subj:] == 0).all())
+        n_ok += ok
+        if not ok:
+            bad = np.nonzero(got[:n_subj] != want)[0][:4]
+            print(f"CHAIN MISMATCH case {i}: S={S} ws={ws} Q={Q} gap={gap} at {bad}")
+    print(f"TPU chain fuzz: {n_ok}/{n_cases} configs bit-exact")
+    return 0 if n_ok == n_cases else 1
+
+
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:3]]
     rc = main(*args)
     rc |= main_multi()
     rc |= main_shard()
+    rc |= main_chain()
     raise SystemExit(rc)

@@ -65,6 +65,9 @@ def main() -> int:
 
     # 4. kernel fuzz
     check("kernel fuzz (random shapes/gaps/matrices)", fuzz_main(10, seed=7) == 0)
+    from tools.tpu_fuzz import main_chain as fuzz_chain
+
+    check("chained-lane fuzz (n_segs vs XLA exact)", fuzz_chain(4, seed=42) == 0)
 
     # 5. streaming fast16 vs resident wavefront
     rng = np.random.default_rng(9)
