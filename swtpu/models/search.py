@@ -82,6 +82,24 @@ class SearchResult:
         return [(int(cand[i]), int(self.scores[cand[i]])) for i in order]
 
 
+@functools.partial(jax.jit, static_argnames=("specs", "gap", "unroll_block"))
+def _gather_rescore(flat_words, offsets, lhsB, cands, *, specs, gap, unroll_block):
+    """Fused prefilter exact phase: device-gather every candidate bucket
+    from the resident flat residue words and score it with the wavefront
+    kernel, concatenating the flat scores — one dispatch, one transfer.
+    ``specs`` is a static tuple of (width, Lc, Bt) per bucket."""
+    from ..ops import prefilter as pf
+    from ..ops import wave_sw
+
+    outs = []
+    for cand, (width, lc, bt) in zip(cands, specs):
+        stack = pf.gather_stack(flat_words, offsets, cand, width=width)
+        outs.append(
+            wave_sw.sw_wave(lhsB, stack, gap=gap, Lc=lc, Bt=bt, unroll_block=unroll_block)
+        )
+    return jnp.concatenate(outs)
+
+
 class SearchEngine:
     """Reusable scorer: parse once, search many queries.
 
@@ -1112,7 +1130,16 @@ class SearchEngine:
         config minus the heuristic knobs; full score array over the
         candidate sub-database)."""
         if getattr(self, "_exact", None) is None:
-            self._exact = SearchEngine(self.config.replace(prefilter=None, top_k=None))
+            # wave_chain=False: chained packing picks (n_segs, seg_cols)
+            # per bucket from the candidate-set length mix, which varies
+            # per QUERY here — an unbounded Mosaic shape family that
+            # recompiles on nearly every search (measured seconds/query).
+            # Unchained plans draw widths from the fixed ladder and lane
+            # counts from the 128/256/512 quanta, so the compile family
+            # is closed and amortises across queries.
+            self._exact = SearchEngine(
+                self.config.replace(prefilter=None, top_k=None, wave_chain=False)
+            )
         return self._exact
 
     def _prefilter_signatures(self, db: Database):
@@ -1143,48 +1170,168 @@ class SearchEngine:
             sig_dev, pop_dev = self._prefilter_signatures(db)
             qsig = pf.signature(query.residues)
         if db.n and qsig.any():
+            n_cand = min(
+                max(
+                    int(np.ceil(cfg.prefilter * db.n)),
+                    min(cfg.prefilter_min_candidates, db.n),
+                    4 * cfg.top_k,
+                ),
+                db.n,
+            )
             with timer.phase("prefilter_coarse"):
                 qsig_dev = jnp.asarray(qsig)
-                z = np.asarray(pf.coarse_zscores(sig_dev, pop_dev, qsig_dev))
-                raw = np.asarray(pf.coarse_scores(sig_dev, qsig_dev))
-            n_cand = max(
-                int(np.ceil(cfg.prefilter * db.n)),
-                min(cfg.prefilter_min_candidates, db.n),
-                4 * cfg.top_k,
-            )
-            if int(raw.max(initial=0)) == 0:
+                packed = np.asarray(
+                    pf.coarse_candidates(sig_dev, pop_dev, qsig_dev, n_cand=n_cand)
+                )
+                z_ids, r_ids, raw_max = packed[0], packed[1], packed[2, 0]
+            if int(raw_max) == 0:
                 # No shared bucket anywhere (e.g. every subject shorter
                 # than K): the coarse pass carries no signal, so ranking
                 # by it would pick an arbitrary id prefix — fall back to
                 # exhaustive candidates instead.
                 cand = np.arange(db.n, dtype=np.int64)
             else:
-                cand = pf.select_candidates([z, raw], n_cand)
+                cand = pf.merge_candidates(z_ids, r_ids, n_cand)
         else:
             # Degenerate coarse signal (query shorter than K / empty db):
             # fall back to exhaustive rather than return arbitrary hits.
             cand = np.arange(db.n, dtype=np.int64)
-        with timer.phase("prefilter_gather"):
-            sub = db.take(cand)
-        sub_result = self._exact_engine().search(query, sub)
-        k = min(cfg.top_k, sub.n)
-        # Candidate ids are sorted ascending, so the sub-engine's
-        # id-ascending tie-break maps straight onto file-order ids.
-        hits = [(int(cand[i]), s) for i, s in sub_result.top_k(k)]
+        k = min(cfg.top_k, int(cand.shape[0]))
+        if self._wave_enabled and cand.shape[0] < db.n:
+            # Fixed-shape exact phase: ONE wavefront bucket packed straight
+            # from the flat residue buffer (no db.take, no per-query
+            # sub-database plan).  Candidate LENGTH MIXES differ per query,
+            # so running the full planner here compiles a fresh Mosaic
+            # shape family on nearly every search (measured seconds/query);
+            # a single bucket at (ladder edge covering the longest
+            # candidate) x (256-quantised lane count) keeps the compile
+            # family closed — in practice one or two shapes per (fraction,
+            # database), hot after the first search.
+            hits, dev_s, cells = self._prefilter_exact_hits(query, db, cand, k, timer)
+        else:
+            # CPU/interpret engines and the exhaustive fallback
+            # (cand == whole db) ride the normal engine.
+            with timer.phase("prefilter_gather"):
+                sub = db.take(cand)
+            sub_result = self._exact_engine().search(query, sub)
+            # Candidate ids are sorted ascending, so the sub-engine's
+            # id-ascending tie-break maps straight onto file-order ids.
+            hits = [(int(cand[i]), s) for i, s in sub_result.top_k(k)]
+            dev_s = sub_result.metrics.device_seconds
+            cells = sub_result.metrics.packed_cells
+            timer.phases.update(sub_result.metrics.phases)
         wall = time.perf_counter() - t_start
-        phases = dict(timer.phases)
-        phases.update(sub_result.metrics.phases)
         metrics = SearchMetrics(
             query_length=query.length,
             n_subjects=db.n,
             residue_sum=db.length_sum,
             padded8_sum=db.padded_length_sum(8),
-            packed_cells=sub_result.metrics.packed_cells,
+            packed_cells=cells,
             wall_seconds=wall,
-            device_seconds=sub_result.metrics.device_seconds,
-            phases=phases,
+            device_seconds=dev_s,
+            phases=dict(timer.phases),
         )
         return SearchResult(scores=None, metrics=metrics, hits=hits)
+
+    def _prefilter_exact_hits(self, query: Query, db: Database, cand: np.ndarray, k: int, timer):
+        """Exact wavefront rescore of a candidate id set in one bucket.
+
+        Returns (hits, device_seconds, packed_cells); hits are exact SW
+        scores ordered (score desc, id asc), ids in file order.
+        """
+        from ..ops import wave_sw
+        from ..utils.bucketing import pack_wave_group, wave_width_edges
+
+        cfg = self.config
+        lens = db.lengths[cand]
+        # Two width classes at the ladder's fine/coarse boundary: one
+        # bucket would pad EVERY candidate to the longest one's width
+        # (usually the database's multi-kilo-aa tail), ~6x the cells of
+        # the split at typical fractions.  Both dispatches queue
+        # asynchronously; the single host sync at the end pays one tunnel
+        # round trip for both.
+        # Widths are PINNED per database, not per candidate set: a width
+        # that tracks each query's longest candidate makes nearly every
+        # search a fresh Mosaic shape (measured seconds/query of compile
+        # churn).  Short bucket always 992 (the ladder's fine/coarse
+        # boundary), long bucket always the edge covering the database's
+        # longest sequence; lane counts quantise to 256.
+        long_edge = next(
+            e for e in wave_width_edges(max(db.largest_length, 1)) if e >= db.largest_length
+        )
+        parts = [(cand[lens <= 992], 992), (cand[lens > 992], long_edge)]
+        from ..ops import prefilter as pf
+
+        flat_dev = None
+        if db.length_sum < 2**31:  # device gather indexes with int32
+            cached = getattr(self, "_flat_cache", None)
+            if cached is not None and cached[0] is db:
+                flat_dev, off_dev = cached[1], cached[2]
+            else:
+                flat_dev = jnp.asarray(pf.pack_flat_words(db.residues))
+                off_dev = jnp.asarray(db.offsets.astype(np.int32))
+                self._flat_cache = (db, flat_dev, off_dev)
+        with timer.phase("prefilter_pack"):
+            qpad = self._query_pad(query.length, wave_sw.W, serving=True)
+            profile = xla_sw.make_profile(query.residues, self.matrix, pad_rows_to=qpad)
+            lhsB = jnp.asarray(wave_sw.build_lhs_banded(profile))
+            jobs = []
+            cells = 0
+            for part, width in parts:
+                if part.shape[0] == 0:
+                    continue
+                # Power-of-two lane quantum (min 256): the short/long split
+                # sizes vary per query with the coarse ranking, and every
+                # distinct lane count is a fresh Mosaic compile — pow2
+                # bounds the variants to O(log n_cand) per bucket.
+                n_part = int(part.shape[0])
+                bpad = max(256, 1 << (n_part - 1).bit_length())
+                bt = wave_sw.pick_bt_div(bpad)
+                cand_pad = np.full(bpad, -1, dtype=np.int32)
+                cand_pad[: part.shape[0]] = part
+                jobs.append((part, width, wave_sw.pick_lc(width), bt, cand_pad))
+                cells += qpad * bpad * (width + wave_sw.W)
+        t_dev = time.perf_counter()
+        if flat_dev is not None:
+            # Fused gather+score: ONE dispatch and ONE device->host
+            # transfer for both buckets (each tunnel round trip is ~25 ms).
+            flat_scores = np.asarray(
+                _gather_rescore(
+                    flat_dev,
+                    off_dev,
+                    lhsB,
+                    tuple(jnp.asarray(cand_pad) for *_, cand_pad in jobs),
+                    specs=tuple((width, lc, bt) for _, width, lc, bt, _ in jobs),
+                    gap=cfg.gap_penalty,
+                    unroll_block=cfg.wave_unroll_block,
+                )
+            )
+            split, pieces = 0, []
+            for part, _, _, _, cand_pad in jobs:
+                pieces.append(flat_scores[split : split + part.shape[0]])
+                split += cand_pad.shape[0]
+            scores = np.concatenate(pieces)
+        else:
+            futs = [
+                wave_sw.sw_wave(
+                    lhsB,
+                    jnp.asarray(pack_wave_group(db, width, part, bt, bpad=cand_pad.shape[0]).stack),
+                    gap=cfg.gap_penalty,
+                    Lc=lc,
+                    Bt=bt,
+                    interpret=cfg.interpret,
+                    unroll_block=cfg.wave_unroll_block,
+                )
+                for part, width, lc, bt, cand_pad in jobs
+            ]
+            scores = np.concatenate(
+                [np.asarray(f)[: part.shape[0]] for f, (part, *_) in zip(futs, jobs)]
+            )
+        ids = np.concatenate([part for part, *_ in jobs])
+        dev_s = time.perf_counter() - t_dev
+        order = np.lexsort((ids, -scores))[:k]
+        hits = [(int(ids[i]), int(scores[i])) for i in order]
+        return hits, dev_s, cells
 
     def search(self, query: Query, db: Database, plan: Optional[BatchPlan] = None) -> SearchResult:
         cfg = self.config

@@ -119,6 +119,16 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int8,
             ctypes.POINTER(ctypes.c_int8),
         ]
+        lib.sw_build_signatures.restype = None
+        lib.sw_build_signatures.argtypes = [
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int8),
+        ]
         _lib = lib
         return _lib
 
@@ -245,6 +255,32 @@ def pack_bucket_T_native(
         l2,
         bpad,
         pad,
+        _ptr(out, ctypes.c_int8),
+    )
+    return out
+
+
+def build_signatures_native(
+    residues: np.ndarray, offsets: np.ndarray, dim: int, k: int, mix: np.ndarray
+) -> Optional[np.ndarray]:
+    """(n, dim) int8 k-mer presence signatures; None if the library is
+    missing.  Must agree bit-for-bit with the NumPy path in
+    swtpu.ops.prefilter.database_signatures (tested)."""
+    lib = load()
+    if lib is None:
+        return None
+    residues = np.ascontiguousarray(residues, dtype=np.int8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    mix32 = np.ascontiguousarray(mix, dtype=np.uint32)
+    n = offsets.shape[0] - 1
+    out = np.empty((n, dim), dtype=np.int8)
+    lib.sw_build_signatures(
+        _ptr(residues, ctypes.c_int8),
+        _ptr(offsets, ctypes.c_int64),
+        n,
+        dim,
+        k,
+        _ptr(mix32, ctypes.c_uint32),
         _ptr(out, ctypes.c_int8),
     )
     return out

@@ -200,4 +200,28 @@ int64_t sw_total_residues(const int64_t* offsets, int64_t n) {
   return n >= 0 ? offsets[n] : 0;
 }
 
+// k-mer presence signatures for the heuristic prefilter
+// (swtpu/ops/prefilter.py): one pass over the flat residue buffer,
+// hashing every in-record k-mer window into a dim-bucket presence bit
+// per sequence.  Replaces a ~1.8 us/residue NumPy pass (which also
+// materialises an 8-byte record-id per residue) with ~2 ns/residue.
+// mix: per-position odd multipliers (must match prefilter._MIX);
+// hash = ((acc >> 20) ^ acc) & (dim - 1) on uint32 wrap-around.
+void sw_build_signatures(const int8_t* residues, const int64_t* offsets,
+                         int64_t n, int64_t dim, int64_t k,
+                         const uint32_t* mix, int8_t* out) {
+  memset(out, 0, (size_t)(n * dim));
+  const uint32_t mask = (uint32_t)(dim - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    const int8_t* seq = residues + offsets[i];
+    int64_t len = offsets[i + 1] - offsets[i];
+    int8_t* sig = out + i * dim;
+    for (int64_t p = 0; p + k <= len; ++p) {
+      uint32_t acc = 0;
+      for (int64_t j = 0; j < k; ++j) acc += (uint32_t)(uint8_t)seq[p + j] * mix[j];
+      sig[((acc >> 20) ^ acc) & mask] = 1;
+    }
+  }
+}
+
 }  // extern "C"

@@ -23,9 +23,22 @@ non-matches before exact scoring; the TPU-native shape of that idea is:
   ranks the 50% mutant ~5400th, the z-score ranks all planted homologs
   top-6 at every DIM tried (1024/2048/4096);
 * the top candidates by coarse score (``max(top_k, min_candidates,
-  frac * n)`` of them) are gathered into a compact sub-database and
-  scored EXACTLY by the wavefront engine; reported hits are exact SW
-  scores with original file-order ids.
+  frac * n)`` of them) are scored EXACTLY by the wavefront kernel;
+  reported hits are exact SW scores with original file-order ids.
+
+Serving-path mechanics (everything per-query must be cheap AND
+shape-stable — each new Mosaic shape is seconds of compile):
+
+* the whole coarse pass is ONE dispatch (:func:`coarse_candidates`:
+  matmul + z-correction + per-signal device top-k) returning one small
+  packed array — one device->host round trip per query;
+* the exact phase packs candidates ON DEVICE from the resident flat
+  residue buffer (:func:`gather_stack`) — the per-query upload is the id
+  vector, not megabytes of residues (a remote-attached chip measures
+  seconds per MB of host->device traffic);
+* exact-phase shapes are PINNED: two buckets split at the ladder's 992
+  boundary with per-DATABASE widths and power-of-two lane counts, so the
+  compiled family is O(log n_cand) per database instead of per-query.
 
 The coarse pass is a heuristic: a true top-K member outside the candidate
 set is missed (measured recall on the bundled data lives in the tests and
@@ -87,6 +100,11 @@ def database_signatures(
     total = db.length_sum
     if total < k or n == 0:
         return sig
+    from .. import native
+
+    sig_c = native.build_signatures_native(db.residues, db.offsets, dim, k, _MIX)
+    if sig_c is not None:  # ~270x the NumPy pass; bit-identical (tested)
+        return sig_c
     flat = np.asarray(db.residues, dtype=np.uint32)
     offsets = np.asarray(db.offsets, dtype=np.int64)
     lengths = db.lengths
@@ -132,6 +150,103 @@ def coarse_zscores(sig_db, popcounts, sig_q) -> jax.Array:
     qk = jnp.sum(sig_q.astype(jnp.float32))
     e = qk * popcounts.astype(jnp.float32) / sig_db.shape[1]
     return (c - e) * jax.lax.rsqrt(jnp.maximum(e, 1.0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_cand",))
+def coarse_candidates(sig_db, popcounts, sig_q, n_cand: int):
+    """Fused coarse pass: ONE device dispatch, tiny transfer.
+
+    Computes the shared-bucket counts, the z-scores, and each signal's
+    device top-``n_cand`` ids (lax.top_k tie-breaks by lowest flat index
+    == lowest id, matching :func:`select_candidates`'s lexsort), plus the
+    max raw count for the host's no-signal fallback check.  Replaces two
+    full-(n,) host transfers (2 x ~25 ms on a remote-attached chip) with
+    two (n_cand,) id vectors and a scalar.
+    """
+    c = jnp.dot(sig_db, sig_q.astype(jnp.int8), preferred_element_type=jnp.int32)
+    qk = jnp.sum(sig_q.astype(jnp.float32))
+    e = qk * popcounts.astype(jnp.float32) / sig_db.shape[1]
+    z = (c.astype(jnp.float32) - e) * jax.lax.rsqrt(jnp.maximum(e, 1.0))
+    _, z_ids = jax.lax.top_k(z, n_cand)
+    _, r_ids = jax.lax.top_k(c, n_cand)
+    # One packed row per signal + the raw max, so the host fetches ONE
+    # array (one device->host round trip, not three).
+    return jnp.stack([z_ids, r_ids, jnp.full_like(z_ids, jnp.max(c))])
+
+
+def pack_flat_words(residues: np.ndarray) -> np.ndarray:
+    """Residue buffer as little-endian uint32 words (+1 slack word), the
+    resident form :func:`gather_stack` gathers from."""
+    n = residues.shape[0]
+    padded = np.zeros((-(-n // 4) + 1) * 4, dtype=np.uint8)
+    padded[:n] = residues.view(np.uint8)
+    return padded.view("<u4")
+
+
+@functools.partial(jax.jit, static_argnames=("width", "w"))
+def gather_stack(flat_words, offsets, cand, width: int, w: int = 32):
+    """Device-side candidate pack: (width + w, bpad) transposed stack.
+
+    ``flat_words``/``offsets`` are the database's flat residue buffer (as
+    uint32 words, :func:`pack_flat_words`) and record offsets, kept
+    RESIDENT once per database — a candidate rescore uploads only the
+    (bpad,) id vector (~KB) instead of host-packing and shipping the
+    candidate residues (~MB per query; a remote-attached chip measures
+    SECONDS per MB of host->device traffic).  ``cand`` pads with -1: pad
+    lanes read length 0 and fill with PAD_SUBJECT, scoring exactly 0.
+
+    TPU gather is ~slow per ELEMENT, so the gather runs at word
+    granularity (4 residues per gathered element) from each lane's
+    word-aligned base, and the 0-3-byte misalignment is fixed with the
+    classic funnel shift — all four rotation variants are cheap vector
+    shift/or ops, and a per-lane select picks the right one.  Measured
+    ~4x over the byte-granularity gather at rescore shapes.
+    """
+    from .xla_sw import PAD_SUBJECT
+
+    safe = jnp.maximum(cand, 0)
+    starts = offsets[safe].astype(jnp.uint32)  # (bpad,) byte offsets
+    lens = jnp.where(cand >= 0, offsets[safe + 1].astype(jnp.uint32) - starts, 0)
+    base = (starts >> 2).astype(jnp.int32)  # word-aligned lane base
+    rot = (starts & 3).astype(jnp.uint32)  # misalignment in bytes
+    nw = width // 4
+    jw = jnp.arange(nw + 1, dtype=jnp.int32)[:, None]  # (nw+1, 1)
+    words = jnp.take(flat_words, base[None, :] + jw, mode="clip")  # (nw+1, bpad)
+    w0, w1 = words[:-1], words[1:]
+    c = w0
+    for r in (1, 2, 3):
+        sh = jnp.uint32(8 * r)
+        variant = (w0 >> sh) | (w1 << jnp.uint32(32 - 8 * r))
+        c = jnp.where(rot[None, :] == r, variant, c)
+    by = jax.lax.bitcast_convert_type(c, jnp.int8)  # (nw, bpad, 4) LE bytes
+    stack = jnp.transpose(by, (0, 2, 1)).reshape(width, cand.shape[0])
+    j = jnp.arange(width, dtype=jnp.uint32)[:, None]
+    stack = jnp.where(j < lens[None, :], stack, jnp.int8(PAD_SUBJECT))
+    return jnp.concatenate(
+        [stack, jnp.full((w, cand.shape[0]), PAD_SUBJECT, jnp.int8)], axis=0
+    )
+
+
+def merge_candidates(z_ids: np.ndarray, r_ids: np.ndarray, n_cand: int) -> np.ndarray:
+    """Round-robin merge of per-signal top-id lists (dedup keeps first).
+
+    Exactly :func:`select_candidates`'s merge given each list is its
+    signal's descending-order prefix: the round-robin never consumes more
+    than n_cand from either.  Returns ids sorted ascending.
+    """
+    out = np.empty(n_cand, dtype=np.int64)
+    seen = set()
+    filled = 0
+    for i in range(n_cand):
+        for ids in (z_ids, r_ids):
+            v = int(ids[i])
+            if v not in seen:
+                seen.add(v)
+                out[filled] = v
+                filled += 1
+                if filled == n_cand:
+                    return np.sort(out)
+    return np.sort(out[:filled])
 
 
 def select_candidates(signals, n_cand: int) -> np.ndarray:

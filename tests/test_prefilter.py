@@ -219,3 +219,93 @@ def test_prefilter_no_signal_falls_back_exhaustive():
     # n_cand floor = 4*top_k = 4 < n = 40: without the no-signal guard the
     # candidate set would be ids {0,1,2,3}.
     assert res.hits == exact.top_k(1)
+
+
+def test_coarse_candidates_matches_host_selection():
+    # The fused device pass (one dispatch, packed (3, n_cand) output) must
+    # reproduce select_candidates([z, raw], n_cand) exactly, including the
+    # lowest-id tie-break.
+    import jax.numpy as jnp
+    from swtpu.ops import prefilter as pf
+
+    rng = np.random.default_rng(8)
+    n, n_cand = 400, 37
+    sig = (rng.random((n, pf.DIM)) < 0.15).astype(np.int8)
+    qsig = (rng.random(pf.DIM) < 0.2).astype(np.int8)
+    pop = sig.sum(axis=1, dtype=np.int32)
+
+    packed = np.asarray(
+        pf.coarse_candidates(jnp.asarray(sig), jnp.asarray(pop), jnp.asarray(qsig), n_cand=n_cand)
+    )
+    got = pf.merge_candidates(packed[0], packed[1], n_cand)
+
+    z = np.asarray(pf.coarse_zscores(jnp.asarray(sig), jnp.asarray(pop), jnp.asarray(qsig)))
+    raw = np.asarray(pf.coarse_scores(jnp.asarray(sig), jnp.asarray(qsig)))
+    want = pf.select_candidates([z, raw], n_cand)
+    assert np.array_equal(got, want)
+    assert int(packed[2, 0]) == int(raw.max())
+
+
+def test_gather_stack_matches_host_pack():
+    # Device-side candidate pack == the host transposed pack, including
+    # pad (-1) lanes and truncation-free widths.
+    import jax.numpy as jnp
+    from swtpu.io.fasta import Database
+    from swtpu.ops import prefilter as pf
+    from swtpu.ops.xla_sw import PAD_SUBJECT
+
+    rng = np.random.default_rng(9)
+    lens = rng.integers(0, 50, 40)
+    offsets = np.zeros(41, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    db = Database(residues=rng.integers(0, 25, offsets[-1]).astype(np.int8), offsets=offsets)
+
+    cand = np.array([3, 0, 17, 39, 5], dtype=np.int32)
+    bpad = 8
+    cand_pad = np.full(bpad, -1, dtype=np.int32)
+    cand_pad[: cand.shape[0]] = cand
+    width = 64
+    stack = np.asarray(
+        pf.gather_stack(
+            jnp.asarray(pf.pack_flat_words(db.residues)),
+            jnp.asarray(db.offsets.astype(np.int32)),
+            jnp.asarray(cand_pad),
+            width=width,
+        )
+    )
+    assert stack.shape == (width + 32, bpad)
+    for lane in range(bpad):
+        if cand_pad[lane] < 0:
+            assert (stack[:, lane] == PAD_SUBJECT).all()
+            continue
+        seq = db.sequence(int(cand_pad[lane]))
+        assert np.array_equal(stack[: len(seq), lane], seq)
+        assert (stack[len(seq) :, lane] == PAD_SUBJECT).all()
+
+
+def test_native_signatures_match_numpy():
+    # The C++ signature builder must agree bit-for-bit with the NumPy
+    # path (same hash, same valid-window masking, zero-length records).
+    import os
+    from swtpu import native
+    from swtpu.ops import prefilter as pf
+    from swtpu.io.fasta import Database
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    r = np.random.default_rng(12)
+    lens = r.integers(0, 60, 500)
+    lens[::50] = 0  # zero-length records
+    lens[1::50] = 1  # shorter than k
+    off = np.zeros(501, np.int64)
+    np.cumsum(lens, out=off[1:])
+    db = Database(residues=r.integers(0, 25, off[-1]).astype(np.int8), offsets=off)
+    a = native.build_signatures_native(db.residues, db.offsets, pf.DIM, pf.K, pf._MIX)
+    os.environ["SWTPU_NO_NATIVE"] = "1"
+    try:
+        b = pf.database_signatures(db)
+    finally:
+        del os.environ["SWTPU_NO_NATIVE"]
+    assert np.array_equal(a, b)

@@ -79,6 +79,10 @@ def main():
     for frac in [float(f) for f in args.fracs.split(",")]:
         eng = SearchEngine(SWConfig(prefilter=frac, top_k=k))
         res = eng.search(query, db)  # cold: signatures + sub-pack + compile
+        # Second distinct warmup: the candidate split sizes vary a little
+        # per query, so the rescore's 256-quantised lane counts can hit a
+        # second compiled variant on the next search.
+        eng.search(variants(999), db)
         got_ids = {h[0] for h in res.hits}
         recall = len(got_ids & planted_ids) / len(planted_ids)
         topk_match = res.hits == exact_hits
