@@ -85,7 +85,10 @@ def main():
         eng.search(variants(999), db)
         got_ids = {h[0] for h in res.hits}
         recall = len(got_ids & planted_ids) / len(planted_ids)
-        topk_match = res.hits == exact_hits
+        # top-K fidelity: how many of the exhaustive top-K the heuristic
+        # reported (the tail of a random-content DB is noise ties, so
+        # overlap counts say more than a strict-equality boolean).
+        overlap = len(got_ids & {h[0] for h in exact_hits})
         t0 = time.perf_counter()
         for rep in range(args.reps):
             eng.search(variants(200 + rep), db)
@@ -93,7 +96,7 @@ def main():
         print(
             f"prefilter {frac*100:4.1f}%: {dt*1e3:7.1f} ms/query steady "
             f"({exact_dt/dt:5.1f}x), effective {1e-9*cells/dt:7.1f} GCUPS, "
-            f"homolog recall {recall*100:.0f}%, top-{k} == exhaustive: {topk_match}"
+            f"homolog recall {recall*100:.0f}%, exhaustive top-{k} overlap {overlap}/{k}"
         )
 
 
