@@ -631,7 +631,15 @@ class SearchEngine:
             k=kk,
             wave_segs=tuple(g.n_segs for g in packed.wave_groups),
         )
-        vals, pos = np.asarray(vals), np.asarray(pos)
+        return self._resolve_topk_hits(
+            np.asarray(vals), np.asarray(pos), ids_flat, k, kk, total, db
+        )
+
+    @staticmethod
+    def _resolve_topk_hits(vals, pos, ids_flat, k, kk, total, db):
+        """Resolve a device top-kk candidate set into exact (id, score)
+        hits with the engine's (score desc, id asc) order, or None when
+        boundary ties could extend past the fetched candidates."""
         cand_ids = ids_flat[pos]
         keep = cand_ids >= 0  # drop pad lanes (score 0)
         vals, cand_ids = vals[keep], cand_ids[keep]
@@ -675,6 +683,28 @@ class SearchEngine:
 
         self._wave_many_fn = jax.jit(step, static_argnames=("wave_segs",))
         return self._wave_many_fn
+
+    def _wave_many_topk_step(self):
+        """Jitted multi-query device top-K: (lhsB4, stacks) -> (Q, kk) x2.
+
+        The serving analogue of _topk_step: with config.top_k set, the
+        (Q, total) score matrix reduces on device and only the candidate
+        (vals, pos) rows transfer — the full arrays and the per-query
+        host scatter never happen.
+        """
+        if getattr(self, "_wave_many_topk_fn", None) is not None:
+            return self._wave_many_topk_fn
+        wave_multi = self._wave_fn(query_axis=True)
+
+        def step(lhsB4, wave_stacks, k, wave_segs=()):
+            outs = [
+                wave_multi(lhsB4, subjT, n_segs)
+                for subjT, n_segs in zip(wave_stacks, wave_segs or (1,) * len(wave_stacks))
+            ]
+            return jax.lax.top_k(jnp.concatenate(outs, axis=1), k)
+
+        self._wave_many_topk_fn = jax.jit(step, static_argnames=("k", "wave_segs"))
+        return self._wave_many_topk_fn
 
     def _query_pieces(self, queries: List[Query], serving: bool = True):
         """Group queries by padded band count and cut binary-size pieces
@@ -821,15 +851,28 @@ class SearchEngine:
         # share a dispatch with zero waste (query_ladder collapses serving
         # lengths onto few rungs, making these groups large in practice).
         out: List[Optional[SearchResult]] = [None] * len(queries)
-        step = self._wave_many_step()
         stacks = tuple(g.stack for g in packed.wave_groups)
         segs = tuple(g.n_segs for g in packed.wave_groups)
+        # Device top-K serving mode: reduce the (Q, total) score matrix on
+        # device and transfer only candidate rows (the full arrays and the
+        # per-query host scatter never happen); boundary-tie queries fall
+        # back to their full-array search (rare).
+        topk_mode = cfg.top_k is not None
+        if topk_mode:
+            ids_flat = np.concatenate([g.ids for g in packed.wave_groups])
+            total = int(ids_flat.shape[0])
+            kk = min(total, max(4 * cfg.top_k + 64, cfg.top_k))
+        step = self._wave_many_topk_step() if topk_mode else self._wave_many_step()
         for qpad, piece in self._query_pieces(queries):
             t_start = time.perf_counter()
             lhs_dev = self._piece_lhs(queries, qpad, piece)
             t_device = time.perf_counter()
             try:
-                flat_all = np.asarray(step(lhs_dev, stacks, wave_segs=segs))  # (Q, total)
+                if topk_mode:
+                    vals_all, pos_all = step(lhs_dev, stacks, k=kk, wave_segs=segs)
+                    vals_all, pos_all = np.asarray(vals_all), np.asarray(pos_all)
+                else:
+                    flat_all = np.asarray(step(lhs_dev, stacks, wave_segs=segs))  # (Q, total)
             except Exception as e:
                 from ..utils.memory import reraise_oom
 
@@ -842,10 +885,21 @@ class SearchEngine:
             wall = time.perf_counter() - t_start
             total_true = sum(queries[i].length for i in piece) * db.length_sum
             for row, i in enumerate(piece):
-                scores = self._reduce_flat(flat_all[row], packed, db, None)
                 share = (queries[i].length * db.length_sum) / max(total_true, 1)
+                scores = None
+                hits = None
+                if topk_mode:
+                    hits = self._resolve_topk_hits(
+                        vals_all[row], pos_all[row], ids_flat, cfg.top_k, kk, total, db
+                    )
+                    if hits is None:  # boundary ties: full-array fallback
+                        out[i] = self.search_packed(queries[i], db, packed)
+                        continue
+                else:
+                    scores = self._reduce_flat(flat_all[row], packed, db, None)
                 out[i] = SearchResult(
                     scores=scores,
+                    hits=hits,
                     metrics=SearchMetrics(
                         query_length=queries[i].length,
                         n_subjects=db.n,

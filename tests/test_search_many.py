@@ -101,3 +101,21 @@ def test_search_many_wave_streaming_matches_resident():
     for r, s in zip(resident, streaming):
         np.testing.assert_array_equal(r.scores, s.scores)
         assert s.metrics.device_seconds > 0
+
+
+def test_search_many_topk_device_reduction():
+    """Serving device top-K: search_many with top_k set must return the
+    same hits as the exhaustive (score desc, id asc) top-K, without ever
+    materialising full score arrays."""
+    seqs = [_rand_seq(int(RNG.integers(5, 200))) for _ in range(60)]
+    seqs[11] = ""  # zero-length record must remain a candidate
+    db = database_from_sequences(seqs)
+    queries = [_q(_rand_seq(n)) for n in (20, 24, 30, 90)]
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True, top_k=7))
+    many = eng.search_many(queries, db)
+    full = SearchEngine(SWConfig(use_wave=True, interpret=True))
+    for q, res in zip(queries, many):
+        exp = full.search(q, db).scores
+        order = np.lexsort((np.arange(db.n), -exp))[:7]
+        assert res.hits == [(int(i), int(exp[i])) for i in order]
+        assert res.scores is None

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--db-size", type=int, default=60000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--unroll-block", type=int, default=None)
+    ap.add_argument("--top-k", type=int, default=None, help="serving device top-K mode (hits only, no full arrays)")
     args = ap.parse_args()
 
     from bench import synth_database
@@ -40,7 +41,7 @@ def main():
         ]
 
     db = synth_database(args.db_size)
-    engine = SearchEngine(SWConfig(wave_unroll_block=args.unroll_block))
+    engine = SearchEngine(SWConfig(wave_unroll_block=args.unroll_block, top_k=args.top_k))
     t0 = time.perf_counter()
     engine.search_many(batch(0), db)  # cold: pack + compile + run
     cold = time.perf_counter() - t0
