@@ -204,6 +204,8 @@ def gather_stack(flat_words, offsets, cand, width: int, w: int = 32):
     """
     from .xla_sw import PAD_SUBJECT
 
+    if width % 4:
+        raise ValueError(f"gather_stack width {width} must be a multiple of 4")
     safe = jnp.maximum(cand, 0)
     starts = offsets[safe].astype(jnp.uint32)  # (bpad,) byte offsets
     lens = jnp.where(cand >= 0, offsets[safe + 1].astype(jnp.uint32) - starts, 0)
