@@ -235,3 +235,85 @@ def sw_score_many(
 ) -> np.ndarray:
     """Score one query against many subjects with the diagonal oracle."""
     return np.array([sw_score_diag(query, s, matrix, gap) for s in subjects], dtype=np.int32)
+
+
+def sw_affine_score_scalar(
+    query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, open_: int, ext: int
+) -> int:
+    """Naive scalar affine-gap (Gotoh) SW max-score.
+
+    Beyond-reference capability (the reference is linear-gap only,
+    src/SWSolver.cu:7): a gap of length L costs ``open_ + (L-1)*ext`` —
+    the first gapped residue pays ``open_``, each further one ``ext`` —
+    so ``open_ == ext`` reduces exactly to the linear recurrence with
+    ``gap = open_`` (property-tested).  Local alignment: H floors at 0.
+    """
+    q = np.asarray(query, dtype=np.int64)
+    s = np.asarray(subject, dtype=np.int64)
+    n = len(s)
+    neg = -(1 << 40)
+    h_prev = np.zeros(n + 1, dtype=np.int64)
+    f_prev = np.full(n + 1, neg, dtype=np.int64)
+    best = 0
+    for qi in q:
+        h_cur = np.zeros(n + 1, dtype=np.int64)
+        f_cur = np.full(n + 1, neg, dtype=np.int64)
+        e = neg
+        for j in range(1, n + 1):
+            e = max(h_cur[j - 1] - open_, e - ext)
+            f_cur[j] = max(h_prev[j] - open_, f_prev[j] - ext)
+            h = max(0, h_prev[j - 1] + int(matrix[qi, s[j - 1]]), e, f_cur[j])
+            h_cur[j] = h
+            if h > best:
+                best = h
+        h_prev, f_prev = h_cur, f_cur
+    return int(best)
+
+
+def sw_affine_score_diag(
+    query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, open_: int, ext: int
+) -> int:
+    """Anti-diagonal vectorised affine (Gotoh) max-score (NumPy).
+
+    Same diagonal state walk as :func:`sw_score_diag` plus E/F gap states:
+    E[i,j] depends on (i, j-1) (previous diagonal, same i), F[i,j] on
+    (i-1, j) (previous diagonal, i-1) — an independent cross-check for
+    :func:`sw_affine_score_scalar` and the device kernels.
+    """
+    q = np.asarray(query, dtype=np.int64)
+    s = np.asarray(subject, dtype=np.int64)
+    m, n = len(q), len(s)
+    if m == 0 or n == 0:
+        return 0
+    neg = np.int64(-(1 << 40))
+    d2 = np.full(m, neg)  # H on diagonal d-2
+    d1 = np.full(m, neg)  # H on diagonal d-1
+    e1 = np.full(m, neg)  # E on diagonal d-1
+    f1 = np.full(m, neg)  # F on diagonal d-1
+    best = np.int64(0)
+    ii = np.arange(m)
+    for d in range(m + n - 1):
+        lo = max(0, d - n + 1)
+        hi = min(m - 1, d)
+        curh = np.full(m, neg)
+        cure = np.full(m, neg)
+        curf = np.full(m, neg)
+        seg = slice(lo, hi + 1)
+        jj = d - ii[seg]
+        sub = matrix[q[seg], s[jj]].astype(np.int64)
+        shifted_d2 = np.concatenate(([np.int64(0)], d2[:-1]))
+        diag_prev = np.where((ii[seg] >= 1) & (jj >= 1), shifted_d2[seg], 0)
+        up_h = np.where(ii[seg] >= 1, np.concatenate(([neg], d1[:-1]))[seg], neg)
+        up_f = np.where(ii[seg] >= 1, np.concatenate(([neg], f1[:-1]))[seg], neg)
+        left_h = np.where(jj >= 1, d1[seg], neg)
+        left_e = np.where(jj >= 1, e1[seg], neg)
+        e = np.maximum(left_h - open_, left_e - ext)
+        f = np.maximum(up_h - open_, up_f - ext)
+        h = np.maximum(0, diag_prev + sub)
+        h = np.maximum(h, np.maximum(e, f))
+        curh[seg], cure[seg], curf[seg] = h, e, f
+        m_ = h.max()
+        if m_ > best:
+            best = m_
+        d2, d1, e1, f1 = d1, curh, cure, curf
+    return int(best)

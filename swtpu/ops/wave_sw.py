@@ -132,14 +132,19 @@ BT_SPEED = {512: 1.0, 256: 0.96, 128: 0.88}
 _VMEM_HOIST_BUDGET = 14.5 * 2**20
 
 
-def _scratch_shapes(L2: int, Lc: int, Bt: int, w: int, hoist_oh: bool):
+# F-state boundary value for affine gaps: "no gap may start here".  Far
+# enough below 0 that subtracting extend penalties never wraps int32.
+NEG = -(1 << 30)
+
+
+def _scratch_shapes(L2: int, Lc: int, Bt: int, w: int, hoist_oh: bool, affine: bool = False):
     """The kernel's VMEM scratch list, in _wave_kernel ref order.
 
     Single source of truth: passed to pallas_call AND summed by
     _should_hoist's budget check, so the estimate can't drift from the
     real allocation when scratch buffers are resized.
     """
-    return [
+    shapes = [
         pltpu.VMEM((((L2 if hoist_oh else Lc) + w + 1) * A32, Bt), jnp.int8),  # oh
         pltpu.VMEM((Lc + w - 8, w, Bt), jnp.int8),  # sp
         pltpu.VMEM((Lc, w, Bt), jnp.int8),  # sk
@@ -148,10 +153,17 @@ def _scratch_shapes(L2: int, Lc: int, Bt: int, w: int, hoist_oh: bool):
         pltpu.VMEM((1, Bt), jnp.int32),  # lastb
         pltpu.VMEM((w, Bt), jnp.int32),  # zero
         pltpu.VMEM((w, Bt), jnp.int8),  # tail
-        pltpu.VMEM((2, w, Bt), jnp.int32),  # d
+        pltpu.VMEM((4 if affine else 2, w, Bt), jnp.int32),  # d (+E/F waves)
         pltpu.VMEM((w, Bt), jnp.int32),  # b (current-segment best carry)
         pltpu.VMEM((w, Bt), jnp.int32),  # snap (separator snapshot carry)
     ]
+    if affine:
+        shapes += [
+            pltpu.VMEM((Lc + 8, Bt), jnp.int32),  # fcw (F top-carry window)
+            pltpu.VMEM((Lc + 8, Bt), jnp.int32),  # fbrow (F bottom rows)
+            pltpu.VMEM((1, Bt), jnp.int32),  # lastfb
+        ]
+    return shapes
 
 
 def _sep_table(n_segs: int, seg_cols: int, Lc: int, w: int):
@@ -189,7 +201,9 @@ def _sep_table(n_segs: int, seg_cols: int, Lc: int, w: int):
     )
 
 
-def _should_hoist(L2: int, Lc: int, Bt: int, w: int, n_qb: int, n_segs: int = 1) -> bool:
+def _should_hoist(
+    L2: int, Lc: int, Bt: int, w: int, n_qb: int, n_segs: int = 1, affine: bool = False
+) -> bool:
     """Hoist the one-hot across the band/query grid axis when it fits.
 
     Single-chunk buckets hoist for free (the hoisted buffer IS the
@@ -203,7 +217,7 @@ def _should_hoist(L2: int, Lc: int, Bt: int, w: int, n_qb: int, n_segs: int = 1)
         return False
     scratch = sum(
         math.prod(ref.shape) * jnp.dtype(ref.dtype).itemsize
-        for ref in _scratch_shapes(L2, Lc, Bt, w, True)
+        for ref in _scratch_shapes(L2, Lc, Bt, w, True, affine)
     ) + (
         2 * (G * w * KPAD + Lc * Bt)  # double-buffered input blocks
         + 2 * n_segs * w * Bt * 4  # double-buffered out block
@@ -290,6 +304,14 @@ def _wave_kernel(
     roll_oh: bool = False,
     n_segs: int = 1,
     seg_cols: int = 0,
+    # Affine (Gotoh) gaps: gap of length L costs open_ + (L-1)*ext.  The
+    # tc carry grows a second plane (n_tiles, 2, LT, Bt): [i, 0] = H
+    # bottom rows, [i, 1] = F bottom rows (the F recursion crosses band
+    # boundaries like H's up/diag inputs do; E is row-local and only
+    # crosses CHUNKS, via the d_ref carry).
+    affine: bool = False,
+    open_: int = 0,
+    ext: int = 0,
 ):
     if has_top_in:
         tcin_ref, *refs = refs
@@ -309,8 +331,16 @@ def _wave_kernel(
         d_ref,
         b_ref,
         snap_ref,
-        sems,
+        *extra,
     ) = refs
+    sems = extra[-1]
+    fcw_ref, fbrow_ref, lastfb_ref = (extra[0], extra[1], extra[2]) if affine else (None, None, None)
+
+    def _tcH(i_, rows):  # H carry plane window
+        return tc_ref.at[i_, 0, rows, :] if affine else tc_ref.at[i_, rows, :]
+
+    def _tcF(i_, rows):  # F carry plane window (affine only)
+        return tc_ref.at[i_, 1, rows, :]
     i = pl.program_id(0)
     # Grid dim 1 folds (query, band): qb = query * n_bands + band.  Queries
     # are serviced serially per lane tile, each re-zeroing the top boundary
@@ -338,8 +368,12 @@ def _wave_kernel(
         def _wait_prev_brow():
             # same byte count/semaphore as the previous program's write
             pltpu.make_async_copy(
-                brow_ref.at[pl.ds(0, Lc)], tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
+                brow_ref.at[pl.ds(0, Lc)], _tcH(i, pl.ds(t0, Lc)), sems.at[1]
             ).wait()
+            if affine:
+                pltpu.make_async_copy(
+                    fbrow_ref.at[pl.ds(0, Lc)], _tcF(i, pl.ds(t0, Lc)), sems.at[5]
+                ).wait()
 
     # ---- top-carry read: HBM row = column + w; window covers columns
     # [t0-8, t0+Lc) at rows [t0+w-8, t0+Lc+w).  All offsets/sizes 8-aligned
@@ -349,8 +383,12 @@ def _wave_kernel(
     @pl.when(band > 0)
     def _top_read_start():
         pltpu.make_async_copy(
-            tc_ref.at[i, pl.ds(t0 + w - 8, Lc + 8), :], tcw_ref, sems.at[0]
+            _tcH(i, pl.ds(t0 + w - 8, Lc + 8)), tcw_ref, sems.at[0]
         ).start()
+        if affine:
+            pltpu.make_async_copy(
+                _tcF(i, pl.ds(t0 + w - 8, Lc + 8)), fcw_ref, sems.at[4]
+            ).start()
 
     if has_top_in:
         # Band 0's top boundary comes from a previous band-group's carry
@@ -373,6 +411,10 @@ def _wave_kernel(
         # current-segment best resets at every band start: out accumulates
         # across bands via the max-writes at sweep/flush points instead.
         b_ref[:] = jnp.zeros_like(b_ref)
+        if affine:
+            # E/F waves start at "no open gap" (NEG, not 0)
+            d_ref[pl.ds(2, 2)] = jnp.full_like(d_ref[pl.ds(2, 2)], NEG)
+            lastfb_ref[:] = jnp.full_like(lastfb_ref[:], NEG)
 
     # ---- one-hot over columns [t0-w, t0+Lc): lookback tail + this chunk
     # (int32 iota: Mosaic supports only 16/32-bit iota).  The one-hot
@@ -474,12 +516,18 @@ def _wave_kernel(
         @pl.when(band == 0)
         def _top_zero():
             tcw_ref[:] = jnp.zeros_like(tcw_ref)
+            if affine:
+                fcw_ref[:] = jnp.full_like(fcw_ref[:], NEG)
 
     @pl.when(band > 0)
     def _top_read_wait():
         pltpu.make_async_copy(
-            tc_ref.at[i, pl.ds(t0 + w - 8, Lc + 8), :], tcw_ref, sems.at[0]
+            _tcH(i, pl.ds(t0 + w - 8, Lc + 8)), tcw_ref, sems.at[0]
         ).wait()
+        if affine:
+            pltpu.make_async_copy(
+                _tcF(i, pl.ds(t0 + w - 8, Lc + 8)), fcw_ref, sems.at[4]
+            ).wait()
 
     # ---- complete the skew: 8-multiple shifts per 8-row group of r,
     # sk[tloc, r] = sp[LOOKB + tloc - 8*(r//8), r] (all slices 8-aligned).
@@ -507,6 +555,23 @@ def _wave_kernel(
     # straight to brow[tloc+1] (one row-op per step; brow[0] is seeded
     # from the previous chunk's last column below).
     def step(tloc, carry):
+        if affine:
+            # Gotoh: E(r,j) = max(H(r,j-1)-open, E(r,j-1)-ext) rides the
+            # unshifted t-1 waves; F(r,j) = max(H(r-1,j)-open, F(r-1,j)-ext)
+            # rides the SHIFTED t-1 waves with the F band carry as row 0's
+            # boundary; H = max(0, diag + s, E, F).
+            d1, d1s_prev, best, e1, f1 = carry
+            s = sk_ref[tloc].astype(jnp.int32)  # (w, Bt)
+            top_t = tcw_ref[pl.ds(tloc + 8, 1), :]  # H_top[t] (1, Bt)
+            ftop_t = fcw_ref[pl.ds(tloc + 8, 1), :]  # F_top[t] (1, Bt)
+            d1s = jnp.concatenate([top_t, d1[: w - 1, :]], axis=0)
+            f1s = jnp.concatenate([ftop_t, f1[: w - 1, :]], axis=0)
+            e = jnp.maximum(d1 - open_, e1 - ext)
+            f = jnp.maximum(d1s - open_, f1s - ext)
+            h = jnp.maximum(d1s_prev + s, jnp.maximum(e, f))
+            h = jnp.maximum(h, 0)
+            best = jnp.maximum(best, h)
+            return h, d1s, best, e, f
         d1, d1s_prev, best = carry
         s = sk_ref[tloc].astype(jnp.int32)  # (w, Bt)
         top_t = tcw_ref[pl.ds(tloc + 8, 1), :]  # H_top[t] (1, Bt)
@@ -525,6 +590,9 @@ def _wave_kernel(
     # blocked unroll, and the rolled interpret loop.
     brow_ref[pl.ds(0, 1), :] = lastb_ref[:]
     carry = (d_ref[1], d_ref[0], b_ref[:])
+    if affine:
+        fbrow_ref[pl.ds(0, 1), :] = lastfb_ref[:]
+        carry = carry + (d_ref[2], d_ref[3])
     if n_segs > 1:
         carry = carry + (snap_ref[:],)
 
@@ -551,14 +619,20 @@ def _wave_kernel(
     use_snap = bool(sweep_ops)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0) if use_snap else None
 
+    nst = 5 if affine else 3  # carried step-state arity (before snap)
+
     def step_row(tloc, carry):
         if use_snap:
-            h, d1s, best = step(tloc, carry[:3])
-            snap = carry[3]
+            st = step(tloc, carry[:nst])
+            snap = carry[nst]
         else:
-            h, d1s, best = step(tloc, carry)
+            st = step(tloc, carry)
             snap = None
+        h, d1s, best = st[0], st[1], st[2]
         brow_ref[pl.ds(tloc + 1, 1), :] = h[w - 1 : w, :]
+        if affine:
+            e, f = st[3], st[4]
+            fbrow_ref[pl.ds(tloc + 1, 1), :] = f[w - 1 : w, :]
         # sweep/write tables are only populated for n_segs > 1, where the
         # loop is statically unrolled (tloc is a Python int); the rolled/
         # blocked loops (traced tloc) never consult them.
@@ -569,6 +643,11 @@ def _wave_kernel(
                 h = jnp.where(kill, 0, h)
                 d1s = jnp.where(kill, 0, d1s)
                 best = jnp.where(kill, 0, best)
+                if affine:
+                    # open-gap chains leak across segments exactly like the
+                    # H chains do; reset them to the boundary value
+                    e = jnp.where(kill, NEG, e)
+                    f = jnp.where(kill, NEG, f)
             for ck, s in write_ops.get(tloc, ()):
 
                 @pl.when(chunk == ck)
@@ -577,8 +656,9 @@ def _wave_kernel(
                         out_ref[0, 0, pl.ds(s * w, w), :], snap
                     )
 
-            return (h, d1s, best, snap)
-        return (h, d1s, best)
+            out = (h, d1s, best) + ((e, f) if affine else ())
+            return out + (snap,)
+        return (h, d1s, best) + ((e, f) if affine else ())
 
     if unroll is True:
         # Fully unrolled (Lc <= 256 by construction): a lax.fori_loop here
@@ -603,14 +683,17 @@ def _wave_kernel(
     else:  # interpret mode: a rolled loop keeps CPU-test tracing tractable
         carry = jax.lax.fori_loop(0, Lc, step_row, carry)
     if n_segs > 1:
-        d1, d1s_last, best, snap = carry
-        snap_ref[:] = snap
-    else:
-        d1, d1s_last, best = carry
+        snap_ref[:] = carry[nst]
+        carry = carry[:nst]
+    d1, d1s_last, best = carry[0], carry[1], carry[2]
     lastb_ref[:] = brow_ref[pl.ds(Lc, 1), :]
     d_ref[0] = d1s_last
     d_ref[1] = d1
     b_ref[:] = best
+    if affine:
+        d_ref[2] = carry[3]  # E wave
+        d_ref[3] = carry[4]  # F wave
+        lastfb_ref[:] = fbrow_ref[pl.ds(Lc, 1), :]
 
     # Final segment flush: after the band's last chunk, the carried best
     # holds exactly the LAST segment's cells (earlier segments were
@@ -625,10 +708,17 @@ def _wave_kernel(
         )
 
     # ---- bottom-row write: columns [t0-w, t0+Lc-w) at rows [t0, t0+Lc).
-    wr = pltpu.make_async_copy(brow_ref.at[pl.ds(0, Lc)], tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1])
+    wr = pltpu.make_async_copy(brow_ref.at[pl.ds(0, Lc)], _tcH(i, pl.ds(t0, Lc)), sems.at[1])
     wr.start()
+    if affine:
+        fwr = pltpu.make_async_copy(
+            fbrow_ref.at[pl.ds(0, Lc)], _tcF(i, pl.ds(t0, Lc)), sems.at[5]
+        )
+        fwr.start()
     if not defer_wr:
         wr.wait()
+        if affine:
+            fwr.wait()
     else:
         # a DMA may not outlive the kernel: the grid's final program waits
         last = jnp.logical_and(
@@ -639,8 +729,12 @@ def _wave_kernel(
         @pl.when(last)
         def _wait_final_brow():
             pltpu.make_async_copy(
-                brow_ref.at[pl.ds(0, Lc)], tc_ref.at[i, pl.ds(t0, Lc), :], sems.at[1]
+                brow_ref.at[pl.ds(0, Lc)], _tcH(i, pl.ds(t0, Lc)), sems.at[1]
             ).wait()
+            if affine:
+                pltpu.make_async_copy(
+                    fbrow_ref.at[pl.ds(0, Lc)], _tcF(i, pl.ds(t0, Lc)), sems.at[5]
+                ).wait()
 
     # The final w columns [L2-w, L2) lag one chunk behind and are produced
     # by no one, but the next band's last read window covers them — they
@@ -649,10 +743,17 @@ def _wave_kernel(
     def _zero_tail():
         zero_ref[:] = jnp.zeros_like(zero_ref)
         zw = pltpu.make_async_copy(
-            zero_ref, tc_ref.at[i, pl.ds((chunk + 1) * Lc, w), :], sems.at[3]
+            zero_ref, _tcH(i, pl.ds((chunk + 1) * Lc, w)), sems.at[3]
         )
         zw.start()
         zw.wait()
+        if affine:
+            zero_ref[:] = jnp.full_like(zero_ref[:], NEG)
+            fz = pltpu.make_async_copy(
+                zero_ref, _tcF(i, pl.ds((chunk + 1) * Lc, w)), sems.at[3]
+            )
+            fz.start()
+            fz.wait()
 
 
 @functools.partial(
@@ -667,6 +768,8 @@ def _wave_kernel(
         "unroll_block",
         "hoist",
         "n_segs",
+        "gap_open",
+        "gap_extend",
     ),
 )
 def sw_wave(
@@ -674,7 +777,7 @@ def sw_wave(
     subjT,
     top_in=None,
     *,
-    gap: int,
+    gap: int = 0,
     Lc: int = 128,
     Bt: int = 512,
     w: int = W,
@@ -683,6 +786,8 @@ def sw_wave(
     unroll_block: int | None = None,
     hoist: bool | None = None,
     n_segs: int = 1,
+    gap_open: int | None = None,
+    gap_extend: int | None = None,
 ):
     """Max SW score of one or more queries vs a transposed bucket (int32).
 
@@ -730,6 +835,15 @@ def sw_wave(
       with flat index lane*n_segs + seg; with return_carry, a
       (scores, carry) tuple.
     """
+    affine = gap_open is not None
+    if affine:
+        # Gotoh affine gaps (beyond-reference): a length-L gap costs
+        # gap_open + (L-1)*gap_extend; gap_open == gap_extend reduces
+        # exactly to the linear recurrence.
+        if gap_extend is None:
+            raise ValueError("gap_open requires gap_extend")
+        if top_in is not None or return_carry:
+            raise ValueError("band-carry hand-off (query sharding) is linear-gap only")
     single = lhsB.ndim == 3
     if single:
         lhsB = lhsB[None]
@@ -764,11 +878,16 @@ def sw_wave(
     n_chunks = L2 // Lc
     LT = L2 + w
     hoist_oh = (
-        _should_hoist(L2, Lc, Bt, w, n_q * n_bands, n_segs) if hoist is None else hoist
+        _should_hoist(L2, Lc, Bt, w, n_q * n_bands, n_segs, affine)
+        if hoist is None
+        else hoist
     )
     kern = functools.partial(
         _wave_kernel,
         gap=gap,
+        affine=affine,
+        open_=gap_open if affine else 0,
+        ext=gap_extend if affine else 0,
         Lc=Lc,
         w=w,
         n_bands=n_bands,
@@ -816,10 +935,12 @@ def sw_wave(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, n_q, n_segs * w, Bt), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, LT, Bt), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (n_tiles, 2, LT, Bt) if affine else (n_tiles, LT, Bt), jnp.int32
+            ),
         ),
-        scratch_shapes=_scratch_shapes(L2, Lc, Bt, w, hoist_oh)
-        + [pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=_scratch_shapes(L2, Lc, Bt, w, hoist_oh, affine)
+        + [pltpu.SemaphoreType.DMA((6 if affine else 4,))],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * (L2 + (w - 8) * n_chunks) * n_q * n_bands * KPAD,
             bytes_accessed=B * L2 + B * LT * 8 * n_q * n_bands,

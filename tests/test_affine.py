@@ -1,0 +1,109 @@
+"""Affine-gap (Gotoh) scoring — beyond-reference capability.
+
+The reference is linear-gap only (GAP_PENALTY, src/SWSolver.cu:7); real
+protein search runs affine gaps (open + (L-1)*extend).  Trust chain:
+scalar Gotoh oracle == independent anti-diagonal oracle == the wavefront
+kernel's affine mode (E rides the unshifted t-1 waves, F the shifted
+ones with a second band-carry plane), with the linear recurrence as the
+open == extend special case.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from swtpu.matrices import blosum50_ref
+from swtpu.ops import oracle, wave_sw, xla_sw
+
+MAT = blosum50_ref()
+RNG = np.random.default_rng(17)
+
+
+def test_oracles_cross_validate_and_reduce_to_linear():
+    for t in range(40):
+        q = RNG.integers(0, 25, int(RNG.integers(1, 60))).astype(np.int8)
+        s = RNG.integers(0, 25, int(RNG.integers(0, 80))).astype(np.int8)
+        o, e = int(RNG.integers(1, 12)), int(RNG.integers(1, 6))
+        a = oracle.sw_affine_score_scalar(q, s, MAT, o, e)
+        assert a == oracle.sw_affine_score_diag(q, s, MAT, o, e)
+        g = int(RNG.integers(1, 5))
+        assert oracle.sw_affine_score_scalar(q, s, MAT, g, g) == oracle.sw_score_scalar(
+            q, s, MAT, g
+        )
+
+
+def _kernel_case(qlen, qpad, maxlen, Lc, o, e, seed, S=1, ws=None, B=8):
+    r = np.random.default_rng(seed)
+    q = r.integers(0, 25, qlen).astype(np.int8)
+    lhsB = wave_sw.build_lhs_banded(xla_sw.make_profile(q, MAT, pad_rows_to=qpad))
+    if S == 1:
+        L2 = -(-(maxlen + 32) // Lc) * Lc
+        n_subj = B
+        subjects = [
+            r.integers(0, 25, int(r.integers(0, maxlen + 1))).astype(np.int8)
+            for _ in range(n_subj)
+        ]
+        stack = np.full((L2, B), xla_sw.PAD_SUBJECT, np.int8)
+        for k, sq in enumerate(subjects):
+            stack[: len(sq), k] = sq
+    else:
+        L2 = S * ws + 32
+        n_subj = B * S - 2
+        subjects = [
+            r.integers(0, 25, int(r.integers(0, ws + 1))).astype(np.int8)
+            for _ in range(n_subj)
+        ]
+        stack = np.full((L2, B), xla_sw.PAD_SUBJECT, np.int8)
+        for k, sq in enumerate(subjects):
+            stack[(k % S) * ws : (k % S) * ws + len(sq), k // S] = sq
+    scores = np.asarray(
+        wave_sw.sw_wave(
+            jnp.asarray(lhsB),
+            jnp.asarray(stack),
+            Lc=Lc,
+            Bt=8,
+            n_segs=S,
+            gap_open=o,
+            gap_extend=e,
+            interpret=True,
+        )
+    )
+    for k, sq in enumerate(subjects):
+        assert int(scores[k]) == oracle.sw_affine_score_scalar(q, sq, MAT, o, e), k
+    assert (scores[n_subj:] == 0).all()
+
+
+def test_affine_kernel_multiband_multichunk():
+    # 2 bands x 3 chunks: E crosses chunks via the d carry, F crosses
+    # bands via the second carry plane.
+    _kernel_case(qlen=40, qpad=64, maxlen=100, Lc=48, o=11, e=1, seed=1)
+
+
+def test_affine_kernel_linear_special_case():
+    _kernel_case(qlen=30, qpad=32, maxlen=120, Lc=76, o=3, e=3, seed=3)
+
+
+def test_affine_kernel_chained():
+    _kernel_case(qlen=40, qpad=64, maxlen=0, Lc=48, o=12, e=2, seed=4, S=2, ws=56)
+
+
+def test_affine_rejects_carry_handoff():
+    lhs = wave_sw.build_lhs_banded(
+        xla_sw.make_profile(np.zeros(8, np.int8), MAT, pad_rows_to=32)
+    )
+    stack = np.full((96, 8), xla_sw.PAD_SUBJECT, dtype=np.int8)
+    with pytest.raises(ValueError, match="linear-gap only"):
+        wave_sw.sw_wave(
+            jnp.asarray(lhs),
+            jnp.asarray(stack),
+            Lc=32,
+            Bt=8,
+            gap_open=10,
+            gap_extend=2,
+            return_carry=True,
+            interpret=True,
+        )
+    with pytest.raises(ValueError, match="gap_extend"):
+        wave_sw.sw_wave(
+            jnp.asarray(lhs), jnp.asarray(stack), Lc=32, Bt=8, gap_open=10, interpret=True
+        )
