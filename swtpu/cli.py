@@ -27,6 +27,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--db", required=True, help="database FASTA file (src/main.cpp:28)")
     p.add_argument("--matrix", default="blosum50_ref", help="substitution matrix name")
     p.add_argument("--gap", type=int, default=2, help="linear gap penalty")
+    p.add_argument(
+        "--gap-open",
+        type=int,
+        default=None,
+        help="affine gaps (beyond-reference, wavefront kernel): a length-L "
+        "gap costs OPEN + (L-1)*EXTEND; requires --gap-extend",
+    )
+    p.add_argument("--gap-extend", type=int, default=None, help="affine gap extension penalty")
     p.add_argument("--score-dtype", choices=["int32", "int16"], default="int32")
     p.add_argument("--top-k", type=int, default=None, help="print only the K best hits")
     p.add_argument(
@@ -101,8 +109,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from .models.search import SearchEngine
 
     try:
+        if args.gap_open is not None and args.align_top_k is not None:
+            print(
+                "swtpu: error: --align-top-k is linear-gap only (traceback "
+                "semantics follow the reference's cpu.cpp)",
+                file=sys.stderr,
+            )
+            return 2
         config = SWConfig(
             gap_penalty=args.gap,
+            gap_open=args.gap_open,
+            gap_extend=args.gap_extend,
             matrix=args.matrix,
             score_dtype=args.score_dtype,
             batch_rows=args.batch_rows,

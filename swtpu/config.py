@@ -20,6 +20,13 @@ class SWConfig:
 
     # --- scoring semantics -------------------------------------------------
     gap_penalty: int = 2  # linear gap (reference: src/SWSolver.cu:7)
+    # Affine (Gotoh) gaps — beyond-reference optional mode: a gap of
+    # length L costs gap_open + (L-1)*gap_extend (gap_open == gap_extend
+    # reduces exactly to the linear recurrence).  Both or neither; runs on
+    # the wavefront kernel (exact int32) — requires the wave path and is
+    # incompatible with int16 parity mode, query_shard, and traceback.
+    gap_open: Optional[int] = None
+    gap_extend: Optional[int] = None
     matrix: str = "blosum50_ref"  # see swtpu.matrices.get_matrix
     # Score accumulation dtype: "int32" (exact, default) or "int16"
     # (saturating, SWSolver_char-parity narrow-type mode with exact
@@ -135,6 +142,15 @@ class SWConfig:
     def __post_init__(self):
         if self.gap_penalty < 0:
             raise ValueError("gap_penalty must be >= 0")
+        if (self.gap_open is None) != (self.gap_extend is None):
+            raise ValueError("gap_open and gap_extend must be set together")
+        if self.gap_open is not None:
+            if self.gap_open < self.gap_extend or self.gap_extend < 0:
+                raise ValueError("affine gaps need gap_open >= gap_extend >= 0")
+            if self.score_dtype == "int16":
+                raise ValueError("affine gaps are exact-int32 only (wavefront kernel)")
+            if self.query_shard:
+                raise ValueError("affine gaps do not support query_shard (linear-only carry)")
         if self.length_quantum < 1 or self.batch_rows < 1:
             raise ValueError("length_quantum and batch_rows must be >= 1")
         if self.score_dtype not in ("int32", "int16"):

@@ -82,8 +82,12 @@ class SearchResult:
         return [(int(cand[i]), int(self.scores[cand[i]])) for i in order]
 
 
-@functools.partial(jax.jit, static_argnames=("specs", "gap", "unroll_block"))
-def _gather_rescore(flat_words, offsets, lhsB, cands, *, specs, gap, unroll_block):
+@functools.partial(
+    jax.jit, static_argnames=("specs", "gap", "unroll_block", "gap_open", "gap_extend")
+)
+def _gather_rescore(
+    flat_words, offsets, lhsB, cands, *, specs, gap, unroll_block, gap_open=None, gap_extend=None
+):
     """Fused prefilter exact phase: device-gather every candidate bucket
     from the resident flat residue words and score it with the wavefront
     kernel, concatenating the flat scores — one dispatch, one transfer.
@@ -95,7 +99,16 @@ def _gather_rescore(flat_words, offsets, lhsB, cands, *, specs, gap, unroll_bloc
     for cand, (width, lc, bt) in zip(cands, specs):
         stack = pf.gather_stack(flat_words, offsets, cand, width=width)
         outs.append(
-            wave_sw.sw_wave(lhsB, stack, gap=gap, Lc=lc, Bt=bt, unroll_block=unroll_block)
+            wave_sw.sw_wave(
+                lhsB,
+                stack,
+                gap=gap,
+                Lc=lc,
+                Bt=bt,
+                unroll_block=unroll_block,
+                gap_open=gap_open,
+                gap_extend=gap_extend,
+            )
         )
     return jnp.concatenate(outs)
 
@@ -136,6 +149,11 @@ class SearchEngine:
             if config.wave_chain is not None
             else (config.wave_unroll_block is None and not config.query_shard)
         )
+        if config.gap_open is not None and not self._wave_enabled:
+            raise ValueError(
+                "affine gaps (gap_open/gap_extend) run on the wavefront "
+                "kernel only: enable use_wave=True (with interpret=True on CPU)"
+            )
         if config.query_shard and not self._wave_enabled:
             # Silently falling back to database sharding would ignore an
             # explicit latency-mode request (the systolic pipeline exists
@@ -429,6 +447,8 @@ class SearchEngine:
                 interpret=cfg.interpret,
                 unroll_block=cfg.wave_unroll_block,
                 n_segs=n_segs,
+                gap_open=cfg.gap_open,
+                gap_extend=cfg.gap_extend,
             )
 
         if mesh is None:
@@ -1358,6 +1378,8 @@ class SearchEngine:
                     specs=tuple((width, lc, bt) for _, width, lc, bt, _ in jobs),
                     gap=cfg.gap_penalty,
                     unroll_block=cfg.wave_unroll_block,
+                    gap_open=cfg.gap_open,
+                    gap_extend=cfg.gap_extend,
                 )
             )
             split, pieces = 0, []
@@ -1375,6 +1397,8 @@ class SearchEngine:
                     Bt=bt,
                     interpret=cfg.interpret,
                     unroll_block=cfg.wave_unroll_block,
+                    gap_open=cfg.gap_open,
+                    gap_extend=cfg.gap_extend,
                 )
                 for part, width, lc, bt, cand_pad in jobs
             ]

@@ -107,3 +107,46 @@ def test_affine_rejects_carry_handoff():
         wave_sw.sw_wave(
             jnp.asarray(lhs), jnp.asarray(stack), Lc=32, Bt=8, gap_open=10, interpret=True
         )
+
+
+def test_engine_affine_end_to_end():
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Database, Query
+    from swtpu.models.search import SearchEngine
+
+    r = np.random.default_rng(7)
+    lens = r.integers(0, 60, 80)
+    off = np.zeros(81, np.int64)
+    np.cumsum(lens, out=off[1:])
+    db = Database(residues=r.integers(0, 25, off[-1]).astype(np.int8), offsets=off)
+    qres = r.integers(0, 25, 33).astype(np.int8)
+    q = Query(name="t", residues=qres, raw="")
+    eng = SearchEngine(
+        SWConfig(use_wave=True, interpret=True, gap_open=10, gap_extend=1)
+    )
+    res = eng.search(q, db)
+    for i in range(db.n):
+        assert res.scores[i] == oracle.sw_affine_score_scalar(
+            qres, db.sequence(i), MAT, 10, 1
+        ), i
+    # top-K path over affine scores
+    eng2 = SearchEngine(
+        SWConfig(use_wave=True, interpret=True, gap_open=10, gap_extend=1, top_k=5)
+    )
+    hits = eng2.search(q, db).hits
+    order = np.lexsort((np.arange(db.n), -res.scores))[:5]
+    assert hits == [(int(i), int(res.scores[i])) for i in order]
+
+
+def test_config_affine_validation():
+    from swtpu.config import SWConfig
+    from swtpu.models.search import SearchEngine
+
+    with pytest.raises(ValueError, match="together"):
+        SWConfig(gap_open=10)
+    with pytest.raises(ValueError, match="gap_open >= gap_extend"):
+        SWConfig(gap_open=1, gap_extend=5)
+    with pytest.raises(ValueError, match="int32"):
+        SWConfig(gap_open=10, gap_extend=1, score_dtype="int16")
+    with pytest.raises(ValueError, match="wavefront"):
+        SearchEngine(SWConfig(gap_open=10, gap_extend=1, use_wave=False))
