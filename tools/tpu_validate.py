@@ -69,6 +69,35 @@ def main() -> int:
 
     check("chained-lane fuzz (n_segs vs XLA exact)", fuzz_chain(4, seed=42) == 0)
 
+    # 4b. affine gaps (Gotoh) vs the scalar oracle on compiled Mosaic
+    from swtpu.ops import oracle as _oracle, wave_sw as _wave, xla_sw as _xla
+    import jax.numpy as _jnp
+
+    r_af = np.random.default_rng(99)
+    q_af = r_af.integers(0, 25, 150).astype(np.int8)
+    lhs_af = _wave.build_lhs_banded(
+        _xla.make_profile(q_af, SearchEngine(SWConfig()).matrix, pad_rows_to=160)
+    )
+    subj_af = np.full((128, 200), _xla.PAD_SUBJECT, np.int8)
+    lens_af = r_af.integers(0, 201, 128)
+    for bi in range(128):
+        subj_af[bi, : lens_af[bi]] = r_af.integers(0, 25, lens_af[bi])
+    stack_af = _wave.transpose_pad(subj_af, 224)
+    got_af = np.asarray(
+        _wave.sw_wave(
+            _jnp.asarray(lhs_af), _jnp.asarray(stack_af), Lc=256, Bt=128,
+            gap_open=11, gap_extend=1,
+        )
+    )
+    mat_af = SearchEngine(SWConfig()).matrix
+    ok_af = all(
+        int(got_af[bi]) == _oracle.sw_affine_score_scalar(
+            q_af, subj_af[bi, : lens_af[bi]], mat_af, 11, 1
+        )
+        for bi in range(0, 128, 7)
+    )
+    check("affine gaps (Gotoh) vs oracle, compiled", ok_af)
+
     # 5. streaming fast16 vs resident wavefront
     rng = np.random.default_rng(9)
     q2 = Query(name="q", residues=rng.integers(0, 25, 200).astype(np.int8), raw="")
