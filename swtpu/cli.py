@@ -109,13 +109,6 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from .models.search import SearchEngine
 
     try:
-        if args.gap_open is not None and args.align_top_k is not None:
-            print(
-                "swtpu: error: --align-top-k is linear-gap only (traceback "
-                "semantics follow the reference's cpu.cpp)",
-                file=sys.stderr,
-            )
-            return 2
         config = SWConfig(
             gap_penalty=args.gap,
             gap_open=args.gap_open,
@@ -159,11 +152,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     if args.align_top_k is not None:
         from .matrices import get_matrix
-        from .models.align import traceback_pair
+        from .models.align import traceback_pair, traceback_pair_affine
 
         matrix = get_matrix(config.matrix)
         for sid, score in result.top_k(args.align_top_k):
-            aln = traceback_pair(query.residues, db.sequence(sid), matrix, config.gap_penalty, subject_id=sid)
+            if config.gap_open is not None:
+                aln = traceback_pair_affine(
+                    query.residues, db.sequence(sid), matrix,
+                    config.gap_open, config.gap_extend, subject_id=sid,
+                )
+            else:
+                aln = traceback_pair(query.residues, db.sequence(sid), matrix, config.gap_penalty, subject_id=sid)
             print(aln.pretty())
             print()
     if args.top_k is not None:

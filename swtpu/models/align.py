@@ -254,10 +254,98 @@ def align_top_k(
     result = engine.search(query, db)
     out: List[Alignment] = []
     for sid, dev_score in result.top_k(k):
-        aln = traceback_pair(query.residues, db.sequence(sid), matrix, config.gap_penalty, subject_id=sid)
+        if config.gap_open is not None:
+            aln = traceback_pair_affine(
+                query.residues,
+                db.sequence(sid),
+                matrix,
+                config.gap_open,
+                config.gap_extend,
+                subject_id=sid,
+            )
+        else:
+            aln = traceback_pair(query.residues, db.sequence(sid), matrix, config.gap_penalty, subject_id=sid)
         if aln.score != dev_score:  # pragma: no cover - cross-check
             raise AssertionError(
                 f"traceback score {aln.score} != device score {dev_score} for subject {sid}"
             )
         out.append(aln)
     return out
+
+
+def traceback_pair_affine(
+    query_idx: np.ndarray,
+    subject_idx: np.ndarray,
+    matrix: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+    subject_id: int = 0,
+    max_full_bytes: int = 512 << 20,
+) -> Alignment:
+    """Affine (Gotoh) traceback: recompute H/E/F and walk the state machine.
+
+    Beyond-reference (the reference's cpu.cpp is linear-gap only).  State
+    semantics: in H, prefer DIAG, then E (gap in the query / consume
+    subject), then F — a documented deterministic order (there is no
+    reference format to match here); in E/F, the walk stays in the gap
+    state while the extension identity holds, closing it at the opening
+    cell.  Emitted alignments are validated by re-scoring in tests.
+
+    The three full int64 matrices bound the supported pair size
+    (``max_full_bytes`` across H+E+F); typical top-K hits are far below
+    it, and oversized pairs raise with an actionable message rather than
+    silently thrash.
+    """
+    from ..ops.oracle import sw_affine_matrices
+
+    q = np.asarray(query_idx, dtype=np.int64)
+    s = np.asarray(subject_idx, dtype=np.int64)
+    if 3 * (len(q) + 1) * (len(s) + 1) * 8 > max_full_bytes:
+        raise ValueError(
+            f"affine traceback needs {3 * (len(q) + 1) * (len(s) + 1) * 8 >> 20} MB of "
+            f"H/E/F matrices for a {len(q)}x{len(s)} pair (cap {max_full_bytes >> 20} MB); "
+            "raise max_full_bytes or use the linear-gap traceback"
+        )
+    H, E, F = sw_affine_matrices(q, s, matrix, gap_open, gap_extend)
+    flat = int(np.argmax(H))  # first maximal cell row-major
+    i, j = divmod(flat, H.shape[1])
+    score = int(H[i, j])
+    q_str = decode(q)
+    s_str = decode(s)
+    out_q: List[str] = []
+    out_s: List[str] = []
+    ti, tj, state = i, j, "H"
+    while not (state == "H" and H[ti, tj] == 0):
+        if state == "H":
+            if ti > 0 and tj > 0 and H[ti, tj] == H[ti - 1, tj - 1] + int(
+                matrix[q[ti - 1], s[tj - 1]]
+            ):
+                ti -= 1
+                tj -= 1
+                out_q.append(q_str[ti])
+                out_s.append(s_str[tj])
+            elif H[ti, tj] == E[ti, tj]:
+                state = "E"
+            else:  # H == F by construction
+                state = "F"
+        elif state == "E":  # gap in the query: consume a subject residue
+            tj -= 1
+            out_q.append("-")
+            out_s.append(s_str[tj])
+            if E[ti, tj + 1] == H[ti, tj] - gap_open:
+                state = "H"
+            # else: E[ti, tj+1] == E[ti, tj] - gap_extend, stay in E
+        else:  # state == "F": gap in the subject, consume a query residue
+            ti -= 1
+            out_q.append(q_str[ti])
+            out_s.append("-")
+            if F[ti + 1, tj] == H[ti, tj] - gap_open:
+                state = "H"
+    return Alignment(
+        subject_id=subject_id,
+        score=score,
+        aligned_query="".join(reversed(out_q)),
+        aligned_subject="".join(reversed(out_s)),
+        query_end=i,
+        subject_end=j,
+    )

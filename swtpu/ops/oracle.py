@@ -317,3 +317,39 @@ def sw_affine_score_diag(
             best = m_
         d2, d1, e1, f1 = d1, curh, cure, curf
     return int(best)
+
+
+def sw_affine_matrices(
+    query: np.ndarray, subject: np.ndarray, matrix: np.ndarray, open_: int, ext: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full (m+1, n+1) H/E/F Gotoh matrices (traceback support).
+
+    Row-vectorised: F is a plain elementwise recurrence across rows, and
+    the within-row E chain collapses to a shifted running max in "u-space"
+    (E[j] = max_{j'<j} H[j'] - open_ - (j-j'-1)*ext
+          = cummax(H[j'] + ext*j')[j-1] - open_ - ext*(j-1)).
+    """
+    q = np.asarray(query, dtype=np.int64)
+    s = np.asarray(subject, dtype=np.int64)
+    m, n = len(q), len(s)
+    neg = np.int64(-(1 << 40))
+    H = np.zeros((m + 1, n + 1), dtype=np.int64)
+    E = np.full((m + 1, n + 1), neg, dtype=np.int64)
+    F = np.full((m + 1, n + 1), neg, dtype=np.int64)
+    if open_ < ext:
+        raise ValueError("closed-form E row requires open_ >= ext (SWConfig enforces this)")
+    jfull = np.arange(n + 1, dtype=np.int64)
+    for i in range(1, m + 1):
+        F[i, 1:] = np.maximum(H[i - 1, 1:] - open_, F[i - 1, 1:] - ext)
+        sub = matrix[q[i - 1], s].astype(np.int64)
+        diag = H[i - 1, :-1] + sub
+        # E depends on H of the SAME row: with open_ >= ext, chaining a
+        # new gap open off an E-raised H cell is never strictly better
+        # than extending the original gap, so the fixed point is the
+        # running max over h0 = H-without-E (incl. the j'=0 boundary):
+        # E[j] = max_{j' < j} (h0[j'] + ext*j') - open_ - ext*(j-1).
+        h0 = np.maximum(0, np.maximum(diag, F[i, 1:]))
+        u = np.maximum.accumulate(np.concatenate(([np.int64(0)], h0)) + ext * jfull)
+        E[i, 1:] = u[:-1] - open_ - ext * (jfull[1:] - 1)
+        H[i, 1:] = np.maximum(h0, E[i, 1:])
+    return H, E, F

@@ -150,3 +150,75 @@ def test_config_affine_validation():
         SWConfig(gap_open=10, gap_extend=1, score_dtype="int16")
     with pytest.raises(ValueError, match="wavefront"):
         SearchEngine(SWConfig(gap_open=10, gap_extend=1, use_wave=False))
+
+
+def test_affine_traceback_rescoring_property():
+    # Traceback score == oracle score, and re-scoring the emitted gapped
+    # strings with affine costs reproduces it (open/extend runs tracked).
+    from swtpu.alphabet import encode_str
+    from swtpu.models.align import traceback_pair_affine
+
+    r = np.random.default_rng(9)
+    for t in range(30):
+        q = r.integers(0, 25, int(r.integers(1, 60))).astype(np.int8)
+        s = r.integers(0, 25, int(r.integers(1, 80))).astype(np.int8)
+        e = int(r.integers(1, 5))
+        o = e + int(r.integers(0, 10))
+        exp = oracle.sw_affine_score_scalar(q, s, MAT, o, e)
+        aln = traceback_pair_affine(q, s, MAT, o, e)
+        assert aln.score == exp
+        sc, gq, gs = 0, 0, 0
+        for a, b in zip(aln.aligned_query, aln.aligned_subject):
+            if a == "-":
+                sc -= o if not gq else e
+                gq, gs = 1, 0
+            elif b == "-":
+                sc -= o if not gs else e
+                gs, gq = 1, 0
+            else:
+                sc += int(MAT[int(encode_str(a)[0]), int(encode_str(b)[0])])
+                gq = gs = 0
+        if exp > 0:
+            assert sc == exp, t
+
+
+def test_affine_align_top_k_end_to_end():
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Database, Query
+    from swtpu.models.align import align_top_k
+
+    r = np.random.default_rng(13)
+    lens = r.integers(1, 50, 40)
+    off = np.zeros(41, np.int64)
+    np.cumsum(lens, out=off[1:])
+    db = Database(residues=r.integers(0, 25, off[-1]).astype(np.int8), offsets=off)
+    q = Query(name="t", residues=r.integers(0, 25, 30).astype(np.int8), raw="")
+    cfg = SWConfig(use_wave=True, interpret=True, gap_open=10, gap_extend=1)
+    alns = align_top_k(q, db, k=4, config=cfg)
+    assert len(alns) == 4
+    for aln in alns:  # device score == traceback score is asserted inside
+        assert aln.score == oracle.sw_affine_score_scalar(
+            q.residues, db.sequence(aln.subject_id), MAT, 10, 1
+        )
+
+
+def test_affine_matrices_cell_exact():
+    for t in range(15):
+        r = np.random.default_rng(100 + t)
+        q = r.integers(0, 25, int(r.integers(1, 40))).astype(np.int8)
+        s = r.integers(0, 25, int(r.integers(1, 50))).astype(np.int8)
+        e = int(r.integers(1, 5))
+        o = e + int(r.integers(0, 8))
+        H, E, F = oracle.sw_affine_matrices(q, s, MAT, o, e)
+        neg = -(1 << 40)
+        h2 = np.zeros((len(q) + 1, len(s) + 1), dtype=np.int64)
+        e2 = np.full_like(h2, neg)
+        f2 = np.full_like(h2, neg)
+        for i in range(1, len(q) + 1):
+            for j in range(1, len(s) + 1):
+                e2[i, j] = max(h2[i, j - 1] - o, e2[i, j - 1] - e)
+                f2[i, j] = max(h2[i - 1, j] - o, f2[i - 1, j] - e)
+                h2[i, j] = max(
+                    0, h2[i - 1, j - 1] + int(MAT[q[i - 1], s[j - 1]]), e2[i, j], f2[i, j]
+                )
+        assert (h2 == H).all() and (f2 == F).all() and (e2[:, 1:] == E[:, 1:]).all()
