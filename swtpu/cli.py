@@ -136,7 +136,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     print()
     db = parse_database(args.db)
 
-    engine = SearchEngine(config)
+    try:
+        engine = SearchEngine(config)
+    except ValueError as e:
+        # Engine-level flag incompatibilities (e.g. --gap-open without a
+        # wavefront-capable device) get the same clean error path.
+        print(f"swtpu: error: {e}", file=sys.stderr)
+        return 2
     if args.profile:
         import contextlib
 

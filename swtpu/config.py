@@ -24,7 +24,8 @@ class SWConfig:
     # length L costs gap_open + (L-1)*gap_extend (gap_open == gap_extend
     # reduces exactly to the linear recurrence).  Both or neither; runs on
     # the wavefront kernel (exact int32) — requires the wave path and is
-    # incompatible with int16 parity mode, query_shard, and traceback.
+    # incompatible with int16 parity mode and query_shard.  Alignment
+    # reconstruction routes to the Gotoh traceback automatically.
     gap_open: Optional[int] = None
     gap_extend: Optional[int] = None
     matrix: str = "blosum50_ref"  # see swtpu.matrices.get_matrix

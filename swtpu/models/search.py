@@ -83,10 +83,21 @@ class SearchResult:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("specs", "gap", "unroll_block", "gap_open", "gap_extend")
+    jax.jit,
+    static_argnames=("specs", "gap", "unroll_block", "gap_open", "gap_extend", "interpret"),
 )
 def _gather_rescore(
-    flat_words, offsets, lhsB, cands, *, specs, gap, unroll_block, gap_open=None, gap_extend=None
+    flat_words,
+    offsets,
+    lhsB,
+    cands,
+    *,
+    specs,
+    gap,
+    unroll_block,
+    gap_open=None,
+    gap_extend=None,
+    interpret=False,
 ):
     """Fused prefilter exact phase: device-gather every candidate bucket
     from the resident flat residue words and score it with the wavefront
@@ -108,6 +119,7 @@ def _gather_rescore(
                 unroll_block=unroll_block,
                 gap_open=gap_open,
                 gap_extend=gap_extend,
+                interpret=interpret,
             )
         )
     return jnp.concatenate(outs)
@@ -913,7 +925,12 @@ class SearchEngine:
                         vals_all[row], pos_all[row], ids_flat, cfg.top_k, kk, total, db
                     )
                     if hits is None:  # boundary ties: full-array fallback
-                        out[i] = self.search_packed(queries[i], db, packed)
+                        # skip_device_topk: the single-query path would
+                        # first repeat the exact candidate fetch that just
+                        # returned None (same kk, same packed database).
+                        out[i] = self.search_packed(
+                            queries[i], db, packed, skip_device_topk=True
+                        )
                         continue
                 else:
                     scores = self._reduce_flat(flat_all[row], packed, db, None)
@@ -1100,7 +1117,13 @@ class SearchEngine:
             scores[sid] = int(np.asarray(exact)[0])
         return scores
 
-    def search_packed(self, query: Query, db: Database, packed: PackedDatabase) -> SearchResult:
+    def search_packed(
+        self,
+        query: Query,
+        db: Database,
+        packed: PackedDatabase,
+        skip_device_topk: bool = False,
+    ) -> SearchResult:
         """Search against a device-resident PackedDatabase (fastest path).
 
         ``db`` is still needed for exact rescoring of saturated rows and for
@@ -1138,6 +1161,7 @@ class SearchEngine:
         # and the full score array never transfers.
         if (
             cfg.top_k is not None
+            and not skip_device_topk
             and packed.wave_groups
             and not packed.groups
             and not packed.seg_groups
@@ -1380,6 +1404,7 @@ class SearchEngine:
                     unroll_block=cfg.wave_unroll_block,
                     gap_open=cfg.gap_open,
                     gap_extend=cfg.gap_extend,
+                    interpret=cfg.interpret,
                 )
             )
             split, pieces = 0, []

@@ -777,7 +777,7 @@ def sw_wave(
     subjT,
     top_in=None,
     *,
-    gap: int = 0,
+    gap: int | None = None,
     Lc: int = 128,
     Bt: int = 512,
     w: int = W,
@@ -836,6 +836,10 @@ def sw_wave(
       (scores, carry) tuple.
     """
     affine = gap_open is not None
+    if not affine and gap is None:
+        # Required in linear mode: a silently-defaulted 0 gap would score
+        # every alignment with free gaps.
+        raise ValueError("sw_wave requires gap= (linear) or gap_open/gap_extend (affine)")
     if affine:
         # Gotoh affine gaps (beyond-reference): a length-L gap costs
         # gap_open + (L-1)*gap_extend; gap_open == gap_extend reduces
