@@ -169,10 +169,59 @@ def main_chain(n_cases: int = 6, seed: int = 777) -> int:
     return 0 if n_ok == n_cases else 1
 
 
+def main_affine(n_cases: int = 5, seed: int = 888) -> int:
+    """Affine (Gotoh) wavefront mode vs the scalar oracle on real Mosaic.
+
+    Random open/extend (open >= extend), query lengths crossing band
+    boundaries, random subject lengths including empty."""
+    from swtpu.ops import oracle
+
+    rng = np.random.default_rng(seed)
+    n_ok = 0
+    for i in range(n_cases):
+        L = int(rng.choice([96, 224, 480]))
+        B = 128
+        Q = int(rng.integers(5, 400))
+        ext = int(rng.integers(1, 4))
+        open_ = ext + int(rng.integers(0, 12))
+        mat = blosum50_ref() if i % 2 else get_matrix("blosum50")
+        subj = np.full((B, L), xla_sw.PAD_SUBJECT, np.int8)
+        lens = rng.integers(0, L + 1, B)
+        for b in range(B):
+            subj[b, : lens[b]] = rng.integers(0, 25, lens[b])
+        q = rng.integers(0, 25, Q).astype(np.int8)
+        prof = xla_sw.make_profile(q, mat, pad_rows_to=-(-Q // 32) * 32)
+        lhsB = wave_sw.build_lhs_banded(prof)
+        need = -(-(L + 32) // 32) * 32
+        while not wave_sw.has_lc(need):
+            need += 32
+        subjT = jnp.asarray(wave_sw.transpose_pad(subj, need - 32))
+        got = np.asarray(
+            wave_sw.sw_wave(
+                jnp.asarray(lhsB),
+                subjT,
+                Lc=wave_sw.pick_lc(need - 32),
+                Bt=128,
+                gap_open=open_,
+                gap_extend=ext,
+            )
+        )
+        ok = all(
+            int(got[b]) == oracle.sw_affine_score_scalar(q, subj[b, : lens[b]], mat, open_, ext)
+            for b in range(0, B, 5)
+        )
+        n_ok += ok
+        if not ok:
+            print(f"AFFINE MISMATCH case {i}: L={L} Q={Q} open={open_} ext={ext}")
+    print(f"TPU affine fuzz: {n_ok}/{n_cases} configs bit-exact")
+    return 0 if n_ok == n_cases else 1
+
+
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:3]]
     rc = main(*args)
     rc |= main_multi()
     rc |= main_shard()
     rc |= main_chain()
+    rc |= main_affine()
     raise SystemExit(rc)
