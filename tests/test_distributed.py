@@ -35,7 +35,9 @@ WORKER = textwrap.dedent(
     db = parse_database(os.environ["SWTPU_DB"])
     q = parse_query(os.environ["SWTPU_QUERY"])
     wave = os.environ.get("SWTPU_WAVE") == "1"
-    cfg = SWConfig(batch_rows=8, length_quantum=8, use_wave=wave, interpret=wave)
+    affine = os.environ.get("SWTPU_AFFINE") == "1"
+    cfg = SWConfig(batch_rows=8, length_quantum=8, use_wave=wave, interpret=wave,
+                   gap_open=10 if affine else None, gap_extend=1 if affine else None)
     eng = D.DistributedSearchEngine(cfg)
     shard, base = eng.shard_of(db)
     res = eng.search(q, shard, base, top_k=5)
@@ -55,13 +57,14 @@ def _free_port() -> int:
 
 
 @pytest.mark.parametrize(
-    "nproc,n_seqs,wave",
-    [(2, 30, False), (3, 31, False), (2, 24, True)],
+    "nproc,n_seqs,wave,affine",
+    [(2, 30, False, False), (3, 31, False, False), (2, 24, True, False), (2, 24, True, True)],
 )
-def test_multi_process_distributed_search(tmp_path, nproc, n_seqs, wave):
+def test_multi_process_distributed_search(tmp_path, nproc, n_seqs, wave, affine):
     """2 processes (even shards), 3 processes (odd count: uneven
-    shard_range split, VERDICT round-1 item 7), and the wavefront kernel
-    (interpret) as the per-host engine."""
+    shard_range split, VERDICT round-1 item 7), the wavefront kernel
+    (interpret) as the per-host engine, and affine gaps across the
+    cross-host top-K merge."""
     from swtpu.config import SWConfig
     from swtpu.io.fasta import parse_database, parse_query, write_fasta
     from swtpu.models.search import SearchEngine
@@ -84,6 +87,7 @@ def test_multi_process_distributed_search(tmp_path, nproc, n_seqs, wave):
         # keep the two CPU processes from spin-fighting for every core
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
         **({"SWTPU_WAVE": "1"} if wave else {}),
+        **({"SWTPU_AFFINE": "1"} if affine else {}),
     }
     procs = [
         subprocess.Popen(
@@ -121,7 +125,10 @@ def test_multi_process_distributed_search(tmp_path, nproc, n_seqs, wave):
         assert len(sizes) > 1
 
     # And it matches the single-process engine.
-    eng = SearchEngine(SWConfig(batch_rows=8, length_quantum=8, use_wave=wave, interpret=wave))
+    eng = SearchEngine(
+        SWConfig(batch_rows=8, length_quantum=8, use_wave=wave, interpret=wave,
+                 gap_open=10 if affine else None, gap_extend=1 if affine else None)
+    )
     res = eng.search(parse_query(q_path), parse_database(db_path))
     want = [[int(i), int(s)] for i, s in res.top_k(5)]
     assert results[0]["hits"] == want
