@@ -222,3 +222,35 @@ def test_affine_matrices_cell_exact():
                     0, h2[i - 1, j - 1] + int(MAT[q[i - 1], s[j - 1]]), e2[i, j], f2[i, j]
                 )
         assert (h2 == H).all() and (f2 == F).all() and (e2[:, 1:] == E[:, 1:]).all()
+
+
+def test_affine_prefilter_combo():
+    # Heuristic prefilter with an affine exact phase: coarse pass is
+    # gap-agnostic; the rescore and reported hits must be affine-exact.
+    from swtpu.config import SWConfig
+    from swtpu.models.search import SearchEngine
+    from swtpu.io.fasta import Database, Query
+
+    r = np.random.default_rng(23)
+    lens = r.integers(5, 60, 300)
+    off = np.zeros(301, np.int64)
+    np.cumsum(lens, out=off[1:])
+    db = Database(residues=r.integers(0, 25, off[-1]).astype(np.int8), offsets=off)
+    qres = db.sequence(42).copy()  # a planted exact hit
+    q = Query(name="t", residues=qres, raw="")
+    eng = SearchEngine(
+        SWConfig(
+            use_wave=True,
+            interpret=True,
+            gap_open=10,
+            gap_extend=1,
+            prefilter=0.2,
+            top_k=5,
+            prefilter_min_candidates=32,
+        )
+    )
+    hits = eng.search(q, db).hits
+    assert hits[0][0] == 42  # the planted copy must rank first...
+    assert hits[0][1] == oracle.sw_affine_score_scalar(qres, db.sequence(42), MAT, 10, 1)
+    for sid, sc in hits:  # ...and every reported score must be affine-exact
+        assert sc == oracle.sw_affine_score_scalar(qres, db.sequence(sid), MAT, 10, 1)
