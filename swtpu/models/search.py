@@ -450,12 +450,17 @@ class SearchEngine:
             from ..ops import wave_sw
 
             L2, Bp = subjT.shape
+            Lc = wave_sw.pick_lc(L2 - wave_sw.W)
+            n_qb = lhsB.shape[0] * lhsB.shape[1] if lhsB.ndim == 4 else lhsB.shape[0]
             return wave_sw.sw_wave(
                 lhsB,
                 subjT,
                 gap=cfg.gap_penalty,
-                Lc=wave_sw.pick_lc(L2 - wave_sw.W),
-                Bt=wave_sw.pick_bt_div(Bp),
+                Lc=Lc,
+                Bt=wave_sw.fit_bt(
+                    L2, Lc, wave_sw.pick_bt_div(Bp), n_qb=n_qb, n_segs=n_segs,
+                    affine=cfg.gap_open is not None,
+                ),
                 interpret=cfg.interpret,
                 unroll_block=cfg.wave_unroll_block,
                 n_segs=n_segs,
@@ -1384,7 +1389,11 @@ class SearchEngine:
                 # bounds the variants to O(log n_cand) per bucket.
                 n_part = int(part.shape[0])
                 bpad = max(256, 1 << (n_part - 1).bit_length())
-                bt = wave_sw.pick_bt_div(bpad)
+                lc_part = wave_sw.pick_lc(width)
+                bt = wave_sw.fit_bt(
+                    width + wave_sw.W, lc_part, wave_sw.pick_bt_div(bpad),
+                    affine=cfg.gap_open is not None,
+                )
                 cand_pad = np.full(bpad, -1, dtype=np.int32)
                 cand_pad[: part.shape[0]] = part
                 jobs.append((part, width, wave_sw.pick_lc(width), bt, cand_pad))

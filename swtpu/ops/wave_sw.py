@@ -125,6 +125,33 @@ def pick_bt_div(n_rows: int, w: int = W) -> int:
 # per-program fixed costs but allow finer lane padding.
 BT_SPEED = {512: 1.0, 256: 0.96, 128: 0.88}
 
+# Scoped-vmem ceiling for scratch + double-buffered blocks: current libtpu
+# rejects kernels whose stack exceeds 16 MiB, and the build temporaries
+# consume ~1 MiB of it; the largest known-good linear config (hoisted
+# Lc=256/Bt=512) sums to 14.72 MiB, so anything past ~14.75 must shrink.
+_SCOPED_SCRATCH_BUDGET = 14.75 * 2**20
+
+
+def fit_bt(L2: int, Lc: int, bt: int, w: int = W, n_qb: int = 2, n_segs: int = 1, affine: bool = False) -> int:
+    """Largest lane tile <= bt whose kernel fits the scoped-vmem budget.
+
+    The affine mode's extra scratch (E/F waves + F carry window/rows)
+    pushes the widest linear configs (Lc=256 at Bt=512) past the compile-
+    time stack ceiling; halving the lane tile costs ~4% (BT_SPEED) and
+    restores headroom.  Callers that compute Bt from lane counts
+    (pick_bt_div) should pass the result through here.
+    """
+    while bt > 128:
+        hoist = _should_hoist(L2, Lc, bt, w, n_qb, n_segs, affine)
+        scratch = sum(
+            math.prod(ref.shape) * jnp.dtype(ref.dtype).itemsize
+            for ref in _scratch_shapes(L2, Lc, bt, w, hoist, affine)
+        ) + (2 * (G * w * KPAD + Lc * bt) + 2 * n_segs * w * bt * 4)
+        if scratch <= _SCOPED_SCRATCH_BUDGET:
+            break
+        bt //= 2
+    return bt
+
 # VMEM budget (bytes) for deciding whether the one-hot scratch can cover
 # the whole tile width (hoist) instead of one chunk: v5e has ~16 MiB of
 # VMEM and the known-good Lc=256/Bt=512 non-hoisted config sits at ~15 MB,

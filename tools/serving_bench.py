@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--unroll-block", type=int, default=None)
     ap.add_argument("--top-k", type=int, default=None, help="serving device top-K mode (hits only, no full arrays)")
+    ap.add_argument("--gap-open", type=int, default=None, help="affine serving (with --gap-extend)")
+    ap.add_argument("--gap-extend", type=int, default=None)
     args = ap.parse_args()
 
     from bench import synth_database
@@ -41,7 +43,8 @@ def main():
         ]
 
     db = synth_database(args.db_size)
-    engine = SearchEngine(SWConfig(wave_unroll_block=args.unroll_block, top_k=args.top_k))
+    engine = SearchEngine(SWConfig(wave_unroll_block=args.unroll_block, top_k=args.top_k,
+                                   gap_open=args.gap_open, gap_extend=args.gap_extend))
     t0 = time.perf_counter()
     engine.search_many(batch(0), db)  # cold: pack + compile + run
     cold = time.perf_counter() - t0
