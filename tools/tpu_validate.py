@@ -98,6 +98,15 @@ def main() -> int:
     )
     check("affine gaps (Gotoh) vs oracle, compiled", ok_af)
 
+    # 4c. affine through the FULL engine on the subset database
+    res_eng_af = SearchEngine(SWConfig(gap_open=11, gap_extend=1)).search(q, db)
+    ok_eng_af = all(
+        int(res_eng_af.scores[i])
+        == _oracle.sw_affine_score_scalar(q.residues, db.sequence(i), mat_af, 11, 1)
+        for i in range(0, db.n, 9)
+    )
+    check("affine engine search == oracle (subset db)", ok_eng_af)
+
     # 5. streaming fast16 vs resident wavefront
     rng = np.random.default_rng(9)
     q2 = Query(name="q", residues=rng.integers(0, 25, 200).astype(np.int8), raw="")
