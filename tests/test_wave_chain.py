@@ -197,3 +197,27 @@ def test_engine_chained_search_matches_exact_kernel(monkeypatch):
     hits = eng2.search(q, db).hits
     order = np.lexsort((np.arange(db.n), -exp))[:9]
     assert hits == [(int(i), int(exp[i])) for i in order]
+
+
+def test_streaming_chained_matches_resident(monkeypatch):
+    # The non-resident wave streaming path must produce identical scores
+    # with a CHAINED plan (lane-major flat slots drain per bucket).
+    from swtpu.config import SWConfig
+    from swtpu.models.search import SearchEngine
+    from swtpu.io.fasta import Query
+    from swtpu.utils import bucketing
+
+    db = _synth_db(250, 10, 32)
+
+    def tiny_plan(db_, max_rows=1 << 20, lane_multiple=1, chain=True):
+        ids = np.argsort(-db_.lengths, kind="stable").astype(np.int64)
+        return [(64, ids, 128, 128 * lane_multiple, 2)]
+
+    monkeypatch.setattr(bucketing, "plan_wave_buckets", tiny_plan)
+    r = np.random.default_rng(6)
+    q = Query(name="t", residues=r.integers(0, 25, 30).astype(np.int8), raw="")
+    res_resident = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+    res_stream = SearchEngine(
+        SWConfig(use_wave=True, interpret=True, device_resident=False)
+    ).search(q, db)
+    assert np.array_equal(res_stream.scores, res_resident.scores)
