@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="swtpu", description="TPU-native Smith-Waterman database search")
     p.add_argument("--query", required=True, help="query FASTA file (src/main.cpp:27)")
     p.add_argument("--db", required=True, help="database FASTA file (src/main.cpp:28)")
-    p.add_argument("--matrix", default="blosum50_ref", help="substitution matrix name")
+    p.add_argument("--matrix", default="blosum50_ref", help="substitution matrix name, or a path to an NCBI-format matrix text file (BLOSUM/PAM downloads work as-is)")
     p.add_argument("--gap", type=int, default=2, help="linear gap penalty")
     p.add_argument(
         "--gap-open",

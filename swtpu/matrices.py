@@ -111,8 +111,54 @@ _REGISTRY = {
 }
 
 
+def load_matrix_file(path) -> np.ndarray:
+    """Load an NCBI-format substitution matrix text file.
+
+    The standard BLAST matrix layout: '#' comment lines, a header row of
+    residue letters, then one labelled row per letter.  Any subset or
+    ordering of the engine's 25-letter alphabet is accepted — scores land
+    at the right (row, col) indices and unlisted pairs keep the X-column
+    default of the listed letters' minimum (conservative).  Beyond-
+    reference convenience: the reference hard-codes its tables
+    (src/SWSolver.cu:54-81).
+    """
+    import os
+
+    text = open(os.fspath(path)).read()
+    lines = [ln for ln in text.splitlines() if ln.strip() and not ln.lstrip().startswith("#")]
+    header = lines[0].split()
+    idx = {c: i for i, c in enumerate(ALPHABET)}
+    unknown = [c for c in header if c not in idx]
+    if unknown:
+        raise ValueError(f"matrix file letters {unknown} not in the engine alphabet {ALPHABET!r}")
+    rows = {}
+    for ln in lines[1:]:
+        parts = ln.split()
+        if parts[0] not in idx or len(parts) != len(header) + 1:
+            raise ValueError(f"malformed matrix row: {ln!r}")
+        rows[parts[0]] = [int(v) for v in parts[1:]]
+    if set(rows) != set(header):
+        raise ValueError("matrix file rows and header letters disagree")
+    vals = np.array([rows[r] for r in header], dtype=np.int32)
+    if not np.array_equal(vals, vals.T):
+        raise ValueError("substitution matrix must be symmetric")
+    fill = int(vals.min())
+    full = np.full((ALPHABET_SIZE, ALPHABET_SIZE), fill, dtype=np.int32)
+    for a, ra in enumerate(header):
+        for b, rb in enumerate(header):
+            full[idx[ra], idx[rb]] = vals[a, b]
+    return full
+
+
 def get_matrix(name: str) -> np.ndarray:
-    """Look up a substitution matrix by name."""
+    """Look up a substitution matrix by name, or load a matrix text file.
+
+    Any ``name`` containing a path separator or ending in ``.txt``/
+    ``.mat`` is treated as an NCBI-format matrix file path
+    (:func:`load_matrix_file`) — e.g. ``--matrix ./BLOSUM62.txt``.
+    """
+    if "/" in name or name.endswith((".txt", ".mat")):
+        return load_matrix_file(name)
     try:
         return _REGISTRY[name]()
     except KeyError:

@@ -77,3 +77,47 @@ def test_ref_table_parity_char():
     assert diff.tolist() == [[L, W]]
     assert reordered[L, W] == 2 and reordered[W, L] == -2  # the ref typo
     assert mine[L, W] == mine[W, L] == -2
+
+
+def test_load_matrix_file_roundtrip(tmp_path):
+    # Write standard BLOSUM50 in NCBI text form (with comments and the
+    # '*' column) and check the loader reproduces the built-in table.
+    import numpy as np
+    from swtpu.alphabet import ALPHABET
+    from swtpu.matrices import blosum50, get_matrix
+
+    ref = blosum50()
+    letters = list(ALPHABET)
+    lines = ["# test matrix", "   " + "  ".join(letters)]
+    for i, a in enumerate(letters):
+        lines.append(a + " " + " ".join(f"{int(ref[i, j]):3d}" for j in range(len(letters))))
+    p = tmp_path / "BLOSUM50.txt"
+    p.write_text("\n".join(lines) + "\n")
+    loaded = get_matrix(str(p))
+    assert np.array_equal(loaded, ref)
+
+
+def test_load_matrix_file_partial_alphabet(tmp_path):
+    # A file listing a letter subset fills unlisted pairs with the listed
+    # minimum and keeps listed scores exact.
+    import numpy as np
+    from swtpu.alphabet import encode_str
+    from swtpu.matrices import get_matrix
+
+    p = tmp_path / "m.mat"
+    p.write_text("  A R N\nA 5 -2 -1\nR -2 7 -1\nN -1 -1 7\n")
+    m = get_matrix(str(p))
+    a, r, n = (int(encode_str(c)[0]) for c in "ARN")
+    assert m[a, a] == 5 and m[a, r] == -2 and m[n, n] == 7
+    w = int(encode_str("W")[0])
+    assert m[w, w] == -2  # unlisted pairs take the listed minimum
+
+
+def test_load_matrix_file_rejects_asymmetry(tmp_path):
+    import pytest
+    from swtpu.matrices import get_matrix
+
+    p = tmp_path / "bad.txt"
+    p.write_text("  A R\nA 5 -2\nR -3 7\n")
+    with pytest.raises(ValueError, match="symmetric"):
+        get_matrix(str(p))
