@@ -92,11 +92,13 @@ def main():
         ]
     if args.only:
         queries = [q.strip() for q in args.only.split(",") if q.strip()]
+    # True lengths of the vendored query FASTAs (fallback only; parse_query
+    # reads the real file whenever it exists).
     lengths = {"P02232": 144, "P05013": 189, "P14942": 222, "P07327": 375,
-               "P01008": 464, "P42357": 657, "P03435": 567, "P21177": 452,
-               "Q38941": 850, "P27895": 1000, "P07756": 1500, "P19096": 2500,
-               "P28167": 2700, "P0C6B8": 3100, "P20930": 4061, "Q7TMA5": 4548,
-               "P08519": 4548}
+               "P01008": 464, "P03435": 567, "P42357": 657, "P21177": 729,
+               "Q38941": 850, "P27895": 1000, "P07756": 1500, "P04775": 2005,
+               "P19096": 2504, "P28167": 3005, "P0C6B8": 3564, "P20930": 4061,
+               "P08519": 4548, "Q7TMA5": 4743, "P33450": 5147, "Q9UKN1": 5478}
 
     if args.batched:
         qs = [load_query(qn, lengths.get(qn, 500)) for qn in queries]

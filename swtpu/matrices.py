@@ -118,28 +118,40 @@ def load_matrix_file(path) -> np.ndarray:
     residue letters, then one labelled row per letter.  Any subset or
     ordering of the engine's 25-letter alphabet is accepted — scores land
     at the right (row, col) indices and unlisted pairs keep the X-column
-    default of the listed letters' minimum (conservative).  Beyond-
-    reference convenience: the reference hard-codes its tables
-    (src/SWSolver.cu:54-81).
+    default of the listed letters' minimum (conservative).  Letters outside
+    the 25-letter engine alphabet (some public distributions carry U/O —
+    selenocysteine/pyrrolysine) are skipped with a warning rather than
+    rejected.  Beyond-reference convenience: the reference hard-codes its
+    tables (src/SWSolver.cu:54-81).
     """
     import os
+    import warnings
 
-    text = open(os.fspath(path)).read()
+    with open(os.fspath(path)) as fh:
+        text = fh.read()
     lines = [ln for ln in text.splitlines() if ln.strip() and not ln.lstrip().startswith("#")]
     header = lines[0].split()
     idx = {c: i for i, c in enumerate(ALPHABET)}
     unknown = [c for c in header if c not in idx]
     if unknown:
-        raise ValueError(f"matrix file letters {unknown} not in the engine alphabet {ALPHABET!r}")
+        warnings.warn(
+            f"matrix file letters {unknown} are outside the engine's 25-letter "
+            f"alphabet and were skipped"
+        )
     rows = {}
     for ln in lines[1:]:
         parts = ln.split()
-        if parts[0] not in idx or len(parts) != len(header) + 1:
+        if parts[0] not in set(header) or len(parts) != len(header) + 1:
             raise ValueError(f"malformed matrix row: {ln!r}")
         rows[parts[0]] = [int(v) for v in parts[1:]]
     if set(rows) != set(header):
         raise ValueError("matrix file rows and header letters disagree")
-    vals = np.array([rows[r] for r in header], dtype=np.int32)
+    # Drop unknown letters' rows AND columns before the symmetry check.
+    keep = [i for i, c in enumerate(header) if c in idx]
+    header = [header[i] for i in keep]
+    if not header:
+        raise ValueError("matrix file has no letters from the engine alphabet")
+    vals = np.array([rows[r] for r in header], dtype=np.int32)[:, keep]
     if not np.array_equal(vals, vals.T):
         raise ValueError("substitution matrix must be symmetric")
     fill = int(vals.min())

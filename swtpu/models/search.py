@@ -792,8 +792,12 @@ class SearchEngine:
         host->device bucket transfer amortises across the whole batch
         (per-query streaming would re-upload the database Q times — the
         reference's per-search repacking loop, src/SWSolver.cu:309-359,
-        multiplied by Q).  At most two buckets are in flight at once, so
-        device memory stays at ~2 buckets — the point of streaming.
+        multiplied by Q).  At most two buckets are in flight at once (a new
+        bucket is only enqueued after draining down to one), so device
+        memory stays at 2 buckets — the point of streaming.
+
+        Per-query metrics are cell-proportional SHARES of the batch totals
+        (``SearchMetrics.attributed``), not per-query latency measurements.
         """
         from ..utils.bucketing import pack_wave_group, plan_wave_buckets
 
@@ -845,7 +849,7 @@ class SearchEngine:
                         ],
                     )
                 )
-                if len(inflight) > 2:  # bound device residency to ~2 buckets
+                if len(inflight) >= 2:  # bound device residency to 2 buckets
                     drain(inflight.pop(0))
             while inflight:
                 drain(inflight.pop(0))
@@ -872,6 +876,7 @@ class SearchEngine:
                         wall_seconds=wall * share,
                         device_seconds=max(device_seconds * share, 1e-12),
                         phases={"pack_and_put": pack_time * share},
+                        attributed=True,
                     ),
                 )
             )
@@ -950,6 +955,7 @@ class SearchEngine:
                         packed_cells=qpad * packed.total_cells,
                         wall_seconds=wall * share,
                         device_seconds=max(device_seconds * share, 1e-12),
+                        attributed=True,
                     ),
                 )
         return out  # type: ignore[return-value]
@@ -1071,6 +1077,7 @@ class SearchEngine:
                 packed_cells=qpad * packed.total_cells,
                 wall_seconds=(time.perf_counter() - t_start) * share,
                 device_seconds=max(device_seconds * share, 1e-12),
+                attributed=True,
             )
             results.append(SearchResult(scores=scores, metrics=metrics))
         return results
@@ -1312,8 +1319,9 @@ class SearchEngine:
             # database), hot after the first search.
             hits, dev_s, cells = self._prefilter_exact_hits(query, db, cand, k, timer)
         else:
-            # CPU/interpret engines and the exhaustive fallback
-            # (cand == whole db) ride the normal engine.
+            # Non-wave engines and the exhaustive fallback (cand == whole
+            # db) ride the normal engine.  (Interpret-mode wave engines
+            # take the device-gather branch above, same as compiled.)
             with timer.phase("prefilter_gather"):
                 sub = db.take(cand)
             sub_result = self._exact_engine().search(query, sub)
@@ -1357,12 +1365,28 @@ class SearchEngine:
         # that tracks each query's longest candidate makes nearly every
         # search a fresh Mosaic shape (measured seconds/query of compile
         # churn).  Short bucket always 992 (the ladder's fine/coarse
-        # boundary), long bucket always the edge covering the database's
-        # longest sequence; lane counts quantise to 256.
-        long_edge = next(
-            e for e in wave_width_edges(max(db.largest_length, 1)) if e >= db.largest_length
-        )
-        parts = [(cand[lens <= 992], 992), (cand[lens > 992], long_edge)]
+        # boundary); a MID bucket at the edge covering the database's
+        # 99.9% length quantile keeps one multi-kilo-aa outlier from
+        # padding every >992 candidate to the outlier's width; the long
+        # bucket covers the single longest sequence.  Lane counts
+        # quantise to 256.
+        edges = wave_width_edges(max(db.largest_length, 1))
+        long_edge = next(e for e in edges if e >= db.largest_length)
+        cached_edges = getattr(self, "_prefilter_edge_cache", None)
+        if cached_edges is not None and cached_edges[0] is db:
+            mid_edge = cached_edges[1]
+        else:
+            q999 = int(np.quantile(db.lengths, 0.999)) if db.n else 1
+            mid_edge = next(e for e in edges if e >= max(q999, 993))
+            self._prefilter_edge_cache = (db, mid_edge)
+        if mid_edge >= long_edge:
+            parts = [(cand[lens <= 992], 992), (cand[lens > 992], long_edge)]
+        else:
+            parts = [
+                (cand[lens <= 992], 992),
+                (cand[(lens > 992) & (lens <= mid_edge)], mid_edge),
+                (cand[lens > mid_edge], long_edge),
+            ]
         from ..ops import prefilter as pf
 
         flat_dev = None

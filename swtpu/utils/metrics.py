@@ -51,6 +51,12 @@ class SearchMetrics:
     wall_seconds: float
     device_seconds: float
     phases: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # True when wall_seconds/device_seconds are this query's CELL-PROPORTIONAL
+    # SHARE of a batched dispatch, not a per-query measurement.  GCUPS
+    # aggregates stay correct (shares sum to the batch totals); do NOT read
+    # wall_seconds as this query's serving latency when attributed is set —
+    # the batch-level wall clock is the latency every query in it observed.
+    attributed: bool = False
 
     @property
     def gcups(self) -> float:

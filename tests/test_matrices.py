@@ -121,3 +121,25 @@ def test_load_matrix_file_rejects_asymmetry(tmp_path):
     p.write_text("  A R\nA 5 -2\nR -3 7\n")
     with pytest.raises(ValueError, match="symmetric"):
         get_matrix(str(p))
+
+
+def test_load_matrix_file_skips_unknown_letters(tmp_path):
+    # Public distributions sometimes carry U/O (selenocysteine/pyrrolysine);
+    # those rows/columns are skipped with a warning, not rejected.
+    import pytest
+    from swtpu.alphabet import encode_str
+    from swtpu.matrices import get_matrix
+
+    p = tmp_path / "uo.txt"
+    p.write_text(
+        "  A R U\n"
+        "A 5 -2 -1\n"
+        "R -2 7 0\n"
+        "U -1 0 9\n"
+    )
+    with pytest.warns(UserWarning, match="outside the engine"):
+        m = get_matrix(str(p))
+    a, r = (int(encode_str(c)[0]) for c in "AR")
+    assert m[a, a] == 5 and m[a, r] == -2 and m[r, r] == 7
+    # The U row's 9 must not leak anywhere; fill is min of the KEPT block.
+    assert m.max() == 7 and m.min() == -2

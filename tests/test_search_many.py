@@ -119,3 +119,52 @@ def test_search_many_topk_device_reduction():
         order = np.lexsort((np.arange(db.n), -exp))[:7]
         assert res.hits == [(int(i), int(exp[i])) for i in order]
         assert res.scores is None
+
+
+def test_streaming_inflight_bounded(monkeypatch):
+    """The streaming batched path keeps at most TWO buckets in flight
+    (the documented device-residency bound, search.py
+    _search_many_wave_streaming)."""
+    lengths = [10, 60, 120, 250, 500, 900, 1800, 3000] * 4
+    seqs = [_rand_seq(n) for n in lengths]
+    db = database_from_sequences(seqs)
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True, device_resident=False))
+
+    live = {"now": 0, "max": 0, "issued": 0}
+
+    class FakeFut:
+        def __init__(self, shape):
+            self._shape = shape
+
+        def __array__(self, *args, **kwargs):
+            live["now"] -= 1
+            return np.zeros(self._shape, dtype=np.int32)
+
+    def fake_step_factory():
+        def step(lhs, stacks, wave_segs=(1,)):
+            live["now"] += 1
+            live["issued"] += 1
+            live["max"] = max(live["max"], live["now"])
+            return FakeFut((np.asarray(lhs).shape[0], np.asarray(stacks[0]).shape[1]))
+
+        return step
+
+    monkeypatch.setattr(eng, "_wave_many_step", fake_step_factory)
+    # Force a many-bucket plan (the planner folds this small db into one
+    # bucket otherwise): split every planned bucket into <=8-lane pieces.
+    import swtpu.utils.bucketing as bk
+
+    orig_plan = bk.plan_wave_buckets
+
+    def split_plan(db_, **kw):
+        out = []
+        for width, ids, bt, bpad, n_segs in orig_plan(db_, **kw):
+            for s in range(0, len(ids), 8):
+                out.append((width, ids[s : s + 8], bt, bpad, n_segs))
+        return out
+
+    monkeypatch.setattr(bk, "plan_wave_buckets", split_plan)
+    res = eng.search_many([_q(_rand_seq(24))], db)
+    assert live["issued"] >= 3, "need >=3 buckets to exercise the bound"
+    assert live["max"] <= 2, f"{live['max']} buckets were in flight at once"
+    assert res[0].metrics.attributed  # batched metrics are share-attributed

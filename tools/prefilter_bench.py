@@ -87,8 +87,17 @@ def main():
         recall = len(got_ids & planted_ids) / len(planted_ids)
         # top-K fidelity: how many of the exhaustive top-K the heuristic
         # reported (the tail of a random-content DB is noise ties, so
-        # overlap counts say more than a strict-equality boolean).
-        overlap = len(got_ids & {h[0] for h in exact_hits})
+        # overlap counts say more than a strict-equality boolean)...
+        exact_by_id = dict(exact_hits)
+        overlap_ids = got_ids & set(exact_by_id)
+        overlap = len(overlap_ids)
+        # ...plus end-to-end SCORE exactness on the overlap: every reported
+        # hit's score must equal the exhaustive engine's score for that id
+        # (the exact-phase rescore is bit-exact by construction; this
+        # asserts it through the whole hardware path, not just unit tests).
+        got_by_id = dict(res.hits)
+        mismatches = [i for i in overlap_ids if got_by_id[i] != exact_by_id[i]]
+        exactness = "scores exact" if not mismatches else f"SCORE MISMATCH on ids {mismatches}"
         t0 = time.perf_counter()
         for rep in range(args.reps):
             eng.search(variants(200 + rep), db)
@@ -96,8 +105,11 @@ def main():
         print(
             f"prefilter {frac*100:4.1f}%: {dt*1e3:7.1f} ms/query steady "
             f"({exact_dt/dt:5.1f}x), effective {1e-9*cells/dt:7.1f} GCUPS, "
-            f"homolog recall {recall*100:.0f}%, exhaustive top-{k} overlap {overlap}/{k}"
+            f"homolog recall {recall*100:.0f}%, exhaustive top-{k} overlap {overlap}/{k} "
+            f"({exactness})"
         )
+        if mismatches:
+            raise SystemExit(f"prefilter exact-phase score mismatch: {mismatches}")
 
 
 if __name__ == "__main__":
