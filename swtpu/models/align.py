@@ -273,6 +273,90 @@ def align_top_k(
     return out
 
 
+class _BlockedHEF:
+    """Memory-bounded H/E/F accessor for the affine traceback walk.
+
+    The affine counterpart of :class:`_BlockedH` (round-3 VERDICT item 2):
+    instead of materialising three full (m+1)x(n+1) int64 matrices (~4.6 GB
+    for a 5.5k-aa query vs a 35k-aa subject), (H, E, F) row checkpoints are
+    kept every R rows (int32) plus ONE recomputed (R+1)-row block around
+    the walk position: peak memory is O((m/R + R) * n) int32 — under
+    ~80 MB for the 5.5k x 35k case.  The walk's rows are non-increasing,
+    so each block recomputes at most once.  Values are bit-identical to
+    sw_affine_matrices: the row recurrence is Markov in the previous row's
+    (H, F) and E is closed-form within its own row
+    (swtpu.ops.oracle.sw_affine_rows_from).
+    """
+
+    def __init__(self, q: np.ndarray, s: np.ndarray, matrix: np.ndarray, open_: int, ext: int):
+        from ..ops.oracle import NEG32
+
+        self.q, self.s, self.matrix, self.open_, self.ext = q, s, matrix, open_, ext
+        m, n = len(q), len(s)
+        import math
+
+        self.R = max(16, int(math.isqrt(max(m, 1)) * 2))
+        h_prev = np.zeros(n + 1, dtype=np.int32)
+        f_prev = np.full(n + 1, NEG32, dtype=np.int32)
+        self.checkpoints = {0: (h_prev, np.full(n + 1, NEG32, dtype=np.int32), f_prev)}
+        jfull = np.arange(n + 1, dtype=np.int32)
+        zero = np.zeros(1, dtype=np.int32)
+        # Pass 1: row sweep tracking the FIRST row-major maximal H cell
+        # (same semantics as np.argmax over the full matrix).
+        best, bi, bj = 0, 0, 0
+        for i in range(1, m + 1):
+            f_cur = np.full(n + 1, NEG32, dtype=np.int32)
+            f_cur[1:] = np.maximum(h_prev[1:] - open_, f_prev[1:] - ext)
+            sub = matrix[q[i - 1], s].astype(np.int32)
+            diag = h_prev[:-1] + sub
+            h0 = np.maximum(0, np.maximum(diag, f_cur[1:]))
+            u = np.maximum.accumulate(np.concatenate((zero, h0)) + ext * jfull)
+            e_cur = np.full(n + 1, NEG32, dtype=np.int32)
+            e_cur[1:] = u[:-1] - open_ - ext * (jfull[1:] - 1)
+            h_cur = np.zeros(n + 1, dtype=np.int32)
+            h_cur[1:] = np.maximum(h0, e_cur[1:])
+            rmax = int(h_cur.max())
+            if rmax > best:
+                best, bi, bj = rmax, i, int(np.argmax(h_cur))
+            if i % self.R == 0:
+                self.checkpoints[i] = (h_cur, e_cur, f_cur)
+            h_prev, f_prev = h_cur, f_cur
+        self.best, self.bi, self.bj = best, bi, bj
+        self._blk_lo = -1
+        self._blk = None
+
+    def _ensure(self, i: int) -> None:
+        """Materialise the block containing rows i and i-1 (containment
+        check, not base equality — see _BlockedH._ensure)."""
+        if (
+            self._blk is not None
+            and self._blk_lo <= i
+            and i - self._blk_lo <= self._blk[0].shape[0] - 1
+        ):
+            return
+        from ..ops.oracle import sw_affine_rows_from
+
+        lo = max(0, ((i - 1) // self.R) * self.R) if i > 0 else 0
+        hi = min(lo + self.R, len(self.q))
+        h0, e0, f0 = self.checkpoints[lo]
+        self._blk = sw_affine_rows_from(
+            self.q, self.s, self.matrix, self.open_, self.ext, h0, e0, f0, lo, hi
+        )
+        self._blk_lo = lo
+
+    def h(self, i: int, j: int) -> int:
+        self._ensure(i)
+        return int(self._blk[0][i - self._blk_lo, j])
+
+    def e(self, i: int, j: int) -> int:
+        self._ensure(i)
+        return int(self._blk[1][i - self._blk_lo, j])
+
+    def f(self, i: int, j: int) -> int:
+        self._ensure(i)
+        return int(self._blk[2][i - self._blk_lo, j])
+
+
 def traceback_pair_affine(
     query_idx: np.ndarray,
     subject_idx: np.ndarray,
@@ -280,7 +364,7 @@ def traceback_pair_affine(
     gap_open: int,
     gap_extend: int,
     subject_id: int = 0,
-    max_full_bytes: int = 512 << 20,
+    max_full_bytes: int = 128 << 20,
 ) -> Alignment:
     """Affine (Gotoh) traceback: recompute H/E/F and walk the state machine.
 
@@ -291,55 +375,63 @@ def traceback_pair_affine(
     state while the extension identity holds, closing it at the opening
     cell.  Emitted alignments are validated by re-scoring in tests.
 
-    The three full int64 matrices bound the supported pair size
-    (``max_full_bytes`` across H+E+F); typical top-K hits are far below
-    it, and oversized pairs raise with an actionable message rather than
-    silently thrash.
+    Pairs whose full int64 H+E+F would exceed ``max_full_bytes`` use the
+    blocked checkpoint-recompute accessor :class:`_BlockedHEF` (identical
+    values, O((m/R + R) * n) int32 memory) — the affine port of the
+    linear path's memory-bounded scheme.
     """
     from ..ops.oracle import sw_affine_matrices
 
     q = np.asarray(query_idx, dtype=np.int64)
     s = np.asarray(subject_idx, dtype=np.int64)
-    if 3 * (len(q) + 1) * (len(s) + 1) * 8 > max_full_bytes:
-        raise ValueError(
-            f"affine traceback needs {3 * (len(q) + 1) * (len(s) + 1) * 8 >> 20} MB of "
-            f"H/E/F matrices for a {len(q)}x{len(s)} pair (cap {max_full_bytes >> 20} MB); "
-            "raise max_full_bytes or use the linear-gap traceback"
-        )
-    H, E, F = sw_affine_matrices(q, s, matrix, gap_open, gap_extend)
-    flat = int(np.argmax(H))  # first maximal cell row-major
-    i, j = divmod(flat, H.shape[1])
-    score = int(H[i, j])
+    if 3 * (len(q) + 1) * (len(s) + 1) * 8 <= max_full_bytes:
+        H, E, F = sw_affine_matrices(q, s, matrix, gap_open, gap_extend)
+        flat = int(np.argmax(H))  # first maximal cell row-major
+        i, j = divmod(flat, H.shape[1])
+        score = int(H[i, j])
+        hval = lambda ti, tj: int(H[ti, tj])  # noqa: E731
+        eval_ = lambda ti, tj: int(E[ti, tj])  # noqa: E731
+        fval = lambda ti, tj: int(F[ti, tj])  # noqa: E731
+    else:
+        blk = _BlockedHEF(q, s, matrix, gap_open, gap_extend)
+        i, j, score = blk.bi, blk.bj, blk.best
+        hval, eval_, fval = blk.h, blk.e, blk.f
     q_str = decode(q)
     s_str = decode(s)
     out_q: List[str] = []
     out_s: List[str] = []
+    # All reads sit on rows ti and ti-1 (gap-state closing tests read the
+    # PRE-decrement cells), so the blocked accessor's single block always
+    # covers the walk position.
     ti, tj, state = i, j, "H"
-    while not (state == "H" and H[ti, tj] == 0):
+    while not (state == "H" and hval(ti, tj) == 0):
         if state == "H":
-            if ti > 0 and tj > 0 and H[ti, tj] == H[ti - 1, tj - 1] + int(
+            if ti > 0 and tj > 0 and hval(ti, tj) == hval(ti - 1, tj - 1) + int(
                 matrix[q[ti - 1], s[tj - 1]]
             ):
                 ti -= 1
                 tj -= 1
                 out_q.append(q_str[ti])
                 out_s.append(s_str[tj])
-            elif H[ti, tj] == E[ti, tj]:
+            elif hval(ti, tj) == eval_(ti, tj):
                 state = "E"
             else:  # H == F by construction
                 state = "F"
         elif state == "E":  # gap in the query: consume a subject residue
+            # Closing test on pre-decrement cells: E[i,j] == H[i,j-1]-open
+            # (else E[i,j] == E[i,j-1]-ext: stay in E).
+            closing = eval_(ti, tj) == hval(ti, tj - 1) - gap_open
             tj -= 1
             out_q.append("-")
             out_s.append(s_str[tj])
-            if E[ti, tj + 1] == H[ti, tj] - gap_open:
+            if closing:
                 state = "H"
-            # else: E[ti, tj+1] == E[ti, tj] - gap_extend, stay in E
         else:  # state == "F": gap in the subject, consume a query residue
+            closing = fval(ti, tj) == hval(ti - 1, tj) - gap_open
             ti -= 1
             out_q.append(q_str[ti])
             out_s.append("-")
-            if F[ti + 1, tj] == H[ti, tj] - gap_open:
+            if closing:
                 state = "H"
     return Alignment(
         subject_id=subject_id,

@@ -1377,7 +1377,9 @@ class SearchEngine:
             mid_edge = cached_edges[1]
         else:
             q999 = int(np.quantile(db.lengths, 0.999)) if db.n else 1
-            mid_edge = next(e for e in edges if e >= max(q999, 993))
+            # Small databases may have no edge >= 993 at all: collapse to
+            # the long bucket (two-part split, the pre-round-4 behavior).
+            mid_edge = next((e for e in edges if e >= max(q999, 993)), long_edge)
             self._prefilter_edge_cache = (db, mid_edge)
         if mid_edge >= long_edge:
             parts = [(cand[lens <= 992], 992), (cand[lens > 992], long_edge)]

@@ -353,3 +353,54 @@ def sw_affine_matrices(
         E[i, 1:] = u[:-1] - open_ - ext * (jfull[1:] - 1)
         H[i, 1:] = np.maximum(h0, E[i, 1:])
     return H, E, F
+
+
+#: int32-safe "minus infinity" for the blocked affine traceback: far enough
+#: below any reachable E/F value (E, F >= -open_ on rows >= 1) that no
+#: equality test matches it, far enough above INT32_MIN that -ext never wraps.
+NEG32 = np.int32(-(1 << 30))
+
+
+def sw_affine_rows_from(
+    query: np.ndarray,
+    subject: np.ndarray,
+    matrix: np.ndarray,
+    open_: int,
+    ext: int,
+    h_first: np.ndarray,
+    e_first: np.ndarray,
+    f_first: np.ndarray,
+    i_lo: int,
+    i_hi: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rows ``i_lo..i_hi`` (inclusive) of the Gotoh H/E/F matrices, given
+    the checkpointed row ``i_lo``.
+
+    The affine row recurrence is Markov in (H, F) of the previous row (E is
+    closed-form within its own row), so any row block recomputes exactly
+    from a (H, F) checkpoint — the affine counterpart of
+    :func:`sw_matrix_h_from`, backing the memory-bounded traceback
+    (swtpu.models.align._BlockedHEF).  int32 throughout: H is bounded by
+    max(matrix)*min(m,n) and E/F by ``-open_`` below zero on rows >= 1;
+    boundary cells carry the :data:`NEG32` sentinel.
+    """
+    q = np.asarray(query, dtype=np.int64)
+    s = np.asarray(subject, dtype=np.int64)
+    n = len(s)
+    rows = i_hi - i_lo + 1
+    H = np.zeros((rows, n + 1), dtype=np.int32)
+    E = np.full((rows, n + 1), NEG32, dtype=np.int32)
+    F = np.full((rows, n + 1), NEG32, dtype=np.int32)
+    H[0], E[0], F[0] = h_first, e_first, f_first
+    jfull = np.arange(n + 1, dtype=np.int32)
+    zero = np.zeros(1, dtype=np.int32)
+    for r in range(1, rows):
+        i = i_lo + r
+        F[r, 1:] = np.maximum(H[r - 1, 1:] - open_, F[r - 1, 1:] - ext)
+        sub = matrix[q[i - 1], s].astype(np.int32)
+        diag = H[r - 1, :-1] + sub
+        h0 = np.maximum(0, np.maximum(diag, F[r, 1:]))
+        u = np.maximum.accumulate(np.concatenate((zero, h0)) + ext * jfull)
+        E[r, 1:] = u[:-1] - open_ - ext * (jfull[1:] - 1)
+        H[r, 1:] = np.maximum(h0, E[r, 1:])
+    return H, E, F

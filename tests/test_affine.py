@@ -254,3 +254,73 @@ def test_affine_prefilter_combo():
     assert hits[0][1] == oracle.sw_affine_score_scalar(qres, db.sequence(42), MAT, 10, 1)
     for sid, sc in hits:  # ...and every reported score must be affine-exact
         assert sc == oracle.sw_affine_score_scalar(qres, db.sequence(sid), MAT, 10, 1)
+
+
+def test_affine_blocked_traceback_matches_full():
+    # The memory-bounded _BlockedHEF path must produce the IDENTICAL
+    # alignment (not just an equal-scoring one) as the full-matrix path.
+    from swtpu.models.align import traceback_pair_affine
+
+    r = np.random.default_rng(77)
+    for t in range(20):
+        q = r.integers(0, 25, int(r.integers(30, 200))).astype(np.int8)
+        s = r.integers(0, 25, int(r.integers(30, 300))).astype(np.int8)
+        e = int(r.integers(1, 4))
+        o = e + int(r.integers(0, 10))
+        # Plant a strong homologous region so alignments are non-trivial.
+        if t % 2:
+            k = min(len(q), max(len(s) - 5, 0), 40)
+            s[5 : 5 + k] = q[:k]
+        full = traceback_pair_affine(q, s, MAT, o, e)
+        blocked = traceback_pair_affine(q, s, MAT, o, e, max_full_bytes=0)
+        assert blocked.score == full.score
+        assert blocked.aligned_query == full.aligned_query
+        assert blocked.aligned_subject == full.aligned_subject
+        assert (blocked.query_end, blocked.subject_end) == (full.query_end, full.subject_end)
+
+
+def test_affine_blocked_rows_bit_exact():
+    # sw_affine_rows_from restarted at every checkpoint row reproduces the
+    # full matrices bit-exactly (int32 vs int64 modulo the neg sentinels).
+    from swtpu.ops.oracle import NEG32, sw_affine_rows_from, sw_affine_matrices
+
+    r = np.random.default_rng(5)
+    q = r.integers(0, 25, 70).astype(np.int8)
+    s = r.integers(0, 25, 90).astype(np.int8)
+    o, e = 11, 2
+    H, E, F = sw_affine_matrices(q, s, MAT, o, e)
+    R = 16
+    for lo in range(0, len(q), R):
+        hi = min(lo + R, len(q))
+        h0 = H[lo].astype(np.int32) if lo else np.zeros(len(s) + 1, np.int32)
+        e0 = E[lo].clip(NEG32).astype(np.int32)
+        f0 = F[lo].clip(NEG32).astype(np.int32)
+        Hb, Eb, Fb = sw_affine_rows_from(q, s, MAT, o, e, h0, e0, f0, lo, hi)
+        np.testing.assert_array_equal(Hb, H[lo : hi + 1])
+        np.testing.assert_array_equal(Eb[:, 1:], E[lo : hi + 1, 1:].clip(NEG32))
+        np.testing.assert_array_equal(Fb[:, 1:], F[lo : hi + 1, 1:].clip(NEG32))
+
+
+def test_affine_blocked_memory_bound_long_pair():
+    # The exact case the round-3 VERDICT flagged: a 5.5k x 35k pair needed
+    # ~4.6 GB of full int64 H/E/F and was REJECTED; the blocked accessor
+    # must handle it in bounded memory.  (Scaled to 2k x 12k to keep the
+    # test fast; the bound formula is asserted, not just survival.)
+    from swtpu.models.align import _BlockedHEF
+
+    r = np.random.default_rng(3)
+    m, n = 2000, 12000
+    q = r.integers(0, 25, m).astype(np.int8)
+    s = r.integers(0, 25, n).astype(np.int8)
+    s[100 : 100 + 500] = q[700 : 700 + 500]  # planted homology
+    blk = _BlockedHEF(q, s, MAT, 11, 1)
+    blk._ensure(blk.bi)
+    ckpt_bytes = sum(sum(a.nbytes for a in rows) for rows in blk.checkpoints.values())
+    blk_bytes = sum(a.nbytes for a in blk._blk)
+    assert ckpt_bytes + blk_bytes < 64 << 20  # vs ~578 MB full int64 at this size
+    from swtpu.models.align import traceback_pair_affine
+    from swtpu.ops.oracle import sw_affine_score_diag
+
+    aln = traceback_pair_affine(q, s, MAT, 11, 1)  # auto-routes to blocked
+    assert aln.score == blk.best == sw_affine_score_diag(q, s, MAT, 11, 1)
+    assert len(aln.aligned_query) >= 500
