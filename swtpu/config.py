@@ -150,8 +150,9 @@ class SWConfig:
                 raise ValueError("affine gaps need gap_open >= gap_extend >= 0")
             if self.score_dtype == "int16":
                 raise ValueError("affine gaps are exact-int32 only (wavefront kernel)")
-            if self.query_shard:
-                raise ValueError("affine gaps do not support query_shard (linear-only carry)")
+            # query_shard + affine is supported: the systolic pipeline
+            # ships BOTH the H and F carry planes over ICI
+            # (swtpu.parallel.query_shard.make_wave_query_sharded_step).
         if self.length_quantum < 1 or self.batch_rows < 1:
             raise ValueError("length_quantum and batch_rows must be >= 1")
         if self.score_dtype not in ("int32", "int16"):

@@ -494,17 +494,22 @@ class SearchEngine:
                         "(the planner packs with chain=False there)"
                     )
                 L2, Bp = subjT.shape
-                Bt = wave_sw.pick_bt_div(Bp)
+                Lc = wave_sw.pick_lc(L2 - wave_sw.W)
+                Bt = wave_sw.fit_bt(
+                    L2, Lc, wave_sw.pick_bt_div(Bp), affine=cfg.gap_open is not None
+                )
                 return make_wave_query_sharded_step(
                     mesh,
                     axis,
                     gap=cfg.gap_penalty,
                     n_bands_local=lhsB.shape[0] // n,
                     n_tiles=Bp // Bt,
-                    Lc=wave_sw.pick_lc(L2 - wave_sw.W),
+                    Lc=Lc,
                     Bt=Bt,
                     interpret=cfg.interpret,
                     unroll_block=cfg.wave_unroll_block,
+                    gap_open=cfg.gap_open,
+                    gap_extend=cfg.gap_extend,
                 )(lhsB, subjT)
 
             return wave_qs

@@ -417,15 +417,24 @@ def _wave_kernel(
                 _tcF(i, pl.ds(t0 + w - 8, Lc + 8)), fcw_ref, sems.at[4]
             ).start()
 
+    def _tcinH(i_, rows):  # top_in H plane window (affine adds a plane axis)
+        return tcin_ref.at[i_, 0, rows, :] if affine else tcin_ref.at[i_, rows, :]
+
     if has_top_in:
         # Band 0's top boundary comes from a previous band-group's carry
         # (same row = column + w layout), enabling query-band sharding:
-        # device d's band 0 consumes device d-1's bottom carry.
+        # device d's band 0 consumes device d-1's bottom carry.  In affine
+        # mode the F plane crosses the device boundary exactly like it
+        # crosses in-kernel band boundaries.
         @pl.when(band == 0)
         def _top_in_read_start():
             pltpu.make_async_copy(
-                tcin_ref.at[i, pl.ds(t0 + w - 8, Lc + 8), :], tcw_ref, sems.at[0]
+                _tcinH(i, pl.ds(t0 + w - 8, Lc + 8)), tcw_ref, sems.at[0]
             ).start()
+            if affine:
+                pltpu.make_async_copy(
+                    tcin_ref.at[i, 1, pl.ds(t0 + w - 8, Lc + 8), :], fcw_ref, sems.at[4]
+                ).start()
 
     @pl.when(jnp.logical_and(band == 0, chunk == 0))
     def _init_out():
@@ -535,8 +544,12 @@ def _wave_kernel(
         @pl.when(band == 0)
         def _top_in_read_wait():
             pltpu.make_async_copy(
-                tcin_ref.at[i, pl.ds(t0 + w - 8, Lc + 8), :], tcw_ref, sems.at[0]
+                _tcinH(i, pl.ds(t0 + w - 8, Lc + 8)), tcw_ref, sems.at[0]
             ).wait()
+            if affine:
+                pltpu.make_async_copy(
+                    tcin_ref.at[i, 1, pl.ds(t0 + w - 8, Lc + 8), :], fcw_ref, sems.at[4]
+                ).wait()
 
     else:
 
@@ -852,6 +865,8 @@ def sw_wave(
       top_in: optional (B // Bt, L2 + w, Bt) int32 carry from a PREVIOUS
         band group (row = column + w layout): band 0 reads its top
         boundary from it instead of zeros.  Requires a single query.
+        In affine mode the carry has a plane axis — (B // Bt, 2, L2 + w,
+        Bt) with [i, 0] = H and [i, 1] = F bottom rows.
       return_carry: also return this call's carry (same layout — the
         LAST band's bottom row), to hand to the next band group.
 
@@ -873,8 +888,6 @@ def sw_wave(
         # exactly to the linear recurrence.
         if gap_extend is None:
             raise ValueError("gap_open requires gap_extend")
-        if top_in is not None or return_carry:
-            raise ValueError("band-carry hand-off (query sharding) is linear-gap only")
     single = lhsB.ndim == 3
     if single:
         lhsB = lhsB[None]
@@ -949,7 +962,8 @@ def sw_wave(
     ]
     inputs = [lhsB, subjT]
     if top_in is not None:
-        assert top_in.shape == (n_tiles, LT, Bt)
+        # Affine carries two planes: [i, 0] = H bottom rows, [i, 1] = F.
+        assert top_in.shape == ((n_tiles, 2, LT, Bt) if affine else (n_tiles, LT, Bt))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(top_in)
     best, carry = pl.pallas_call(

@@ -123,13 +123,15 @@ def make_wave_query_sharded_step(
     mesh: Mesh,
     axis: str,
     *,
-    gap: int,
+    gap: int | None = None,
     n_bands_local: int,
     n_tiles: int,
     Lc: int,
     Bt: int,
     interpret: bool = False,
     unroll_block=None,
+    gap_open: int | None = None,
+    gap_extend: int | None = None,
 ):
     """Systolic query-band pipeline on the WAVEFRONT kernel (round-3 port
     of the band-carry hand-off, VERDICT item 5).
@@ -141,6 +143,11 @@ def make_wave_query_sharded_step(
     ``lax.ppermute`` — so the sharded path runs at full wavefront speed
     (~10x the u-space fallback above).
 
+    With ``gap_open/gap_extend`` the pipeline runs Gotoh affine gaps: the
+    carry grows a plane axis and BOTH the H and F bottom rows ship over
+    ICI (the F recursion crosses query-band boundaries exactly like H's
+    up/diag inputs; E is row-local and never leaves a device).
+
     step(lhsB, subjT) with lhsB (n*n_bands_local, G*w, KPAD) int8 and
     subjT (L2, n_tiles*Bt) int8, both replicated.  Returns (B,) int32
     scores, bit-identical to the single-device wavefront kernel.
@@ -149,6 +156,7 @@ def make_wave_query_sharded_step(
 
     n = int(np.prod(mesh.devices.shape))
     w = wave_sw.W
+    affine = gap_open is not None
 
     def local(lhsB, subjT):
         k = jax.lax.axis_index(axis)
@@ -157,7 +165,15 @@ def make_wave_query_sharded_step(
         my_lhs = jax.lax.dynamic_slice(
             lhsB, (k * n_bands_local, 0, 0), (n_bands_local, lhsB.shape[1], lhsB.shape[2])
         )
-        zero_carry = jnp.zeros((1, LT, Bt), jnp.int32)
+        if affine:  # plane 0: H starts at 0; plane 1: F starts at "no gap"
+            zero_carry = jnp.stack(
+                [
+                    jnp.zeros((LT, Bt), jnp.int32),
+                    jnp.full((LT, Bt), wave_sw.NEG, jnp.int32),
+                ]
+            )[None]
+        else:
+            zero_carry = jnp.zeros((1, LT, Bt), jnp.int32)
 
         def step(carry, t):
             carry_in, scores = carry
@@ -178,6 +194,8 @@ def make_wave_query_sharded_step(
                 interpret=interpret,
                 return_carry=True,
                 unroll_block=unroll_block,
+                gap_open=gap_open,
+                gap_extend=gap_extend,
             )
             scores = jnp.where(
                 active,
@@ -223,12 +241,14 @@ def wave_query_sharded_scores(
     subjects: np.ndarray,
     matrix: np.ndarray,
     *,
-    gap: int,
+    gap: int | None = None,
     interpret: bool = False,
+    gap_open: int | None = None,
+    gap_extend: int | None = None,
 ) -> np.ndarray:
     """Score one (long) query against a (B, L) subject batch with query
     BANDS sharded across the mesh on the wavefront kernel.  Returns (B,)
-    exact int32 scores (== swtpu.ops.oracle)."""
+    exact int32 scores (== swtpu.ops.oracle); affine when gap_open is set."""
     from ..ops import wave_sw
 
     n = int(np.prod(mesh.devices.shape))
@@ -257,6 +277,8 @@ def wave_query_sharded_scores(
         Lc=Lc,
         Bt=Bt,
         interpret=interpret,
+        gap_open=gap_open,
+        gap_extend=gap_extend,
     )
     out = np.asarray(step(jnp.asarray(lhsB), jnp.asarray(subjT)))
     return out[:B]

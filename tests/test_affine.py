@@ -87,22 +87,31 @@ def test_affine_kernel_chained():
     _kernel_case(qlen=40, qpad=64, maxlen=0, Lc=48, o=12, e=2, seed=4, S=2, ws=56)
 
 
-def test_affine_rejects_carry_handoff():
+def test_affine_carry_handoff_split_matches_full():
+    # The affine band-carry hand-off (H + F planes) was a round-3 gap and
+    # is now supported: two chained band-groups == one full-band call.
+    rng = np.random.default_rng(31)
+    q = rng.integers(0, 25, 64).astype(np.int8)
+    lhs = wave_sw.build_lhs_banded(xla_sw.make_profile(q, MAT, pad_rows_to=64))
+    subj = np.full((8, 60), xla_sw.PAD_SUBJECT, dtype=np.int8)
+    for i in range(8):
+        n = int(rng.integers(5, 60))
+        subj[i, :n] = rng.integers(0, 25, n)
+    stack = wave_sw.transpose_pad(subj, 64)
+    kw = dict(Lc=32, Bt=8, gap_open=10, gap_extend=2, interpret=True)
+    full = np.asarray(wave_sw.sw_wave(jnp.asarray(lhs), jnp.asarray(stack), **kw))
+    s1, carry = wave_sw.sw_wave(
+        jnp.asarray(lhs[:1]), jnp.asarray(stack), return_carry=True, **kw
+    )
+    s2 = wave_sw.sw_wave(jnp.asarray(lhs[1:]), jnp.asarray(stack), jnp.asarray(carry), **kw)
+    np.testing.assert_array_equal(np.maximum(np.asarray(s1), np.asarray(s2)), full)
+
+
+def test_affine_requires_gap_extend():
     lhs = wave_sw.build_lhs_banded(
         xla_sw.make_profile(np.zeros(8, np.int8), MAT, pad_rows_to=32)
     )
     stack = np.full((96, 8), xla_sw.PAD_SUBJECT, dtype=np.int8)
-    with pytest.raises(ValueError, match="linear-gap only"):
-        wave_sw.sw_wave(
-            jnp.asarray(lhs),
-            jnp.asarray(stack),
-            Lc=32,
-            Bt=8,
-            gap_open=10,
-            gap_extend=2,
-            return_carry=True,
-            interpret=True,
-        )
     with pytest.raises(ValueError, match="gap_extend"):
         wave_sw.sw_wave(
             jnp.asarray(lhs), jnp.asarray(stack), Lc=32, Bt=8, gap_open=10, interpret=True

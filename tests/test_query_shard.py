@@ -96,3 +96,63 @@ def test_engine_query_shard_matches_single():
     single = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
     np.testing.assert_array_equal(sharded.scores, single.scores)
     assert sharded.top_k(5) == single.top_k(5)
+
+
+def test_wave_query_sharded_affine_exact():
+    """Affine (Gotoh) gaps under query-band sharding: BOTH the H and F
+    carry planes ship over ICI (round-3 VERDICT item 3) — bit-exact vs
+    the affine oracle at n=8."""
+    from swtpu.ops import oracle
+    from swtpu.parallel.query_shard import wave_query_sharded_scores
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(23)
+    m = blosum50_ref()
+    # 8 devices x w=32 bands needs a >=256-row profile: use a 400-aa query
+    # so the F plane genuinely crosses every device boundary.
+    q = rng.integers(0, 25, 400).astype(np.int8)
+    B, L = 100, 90
+    subjects = np.full((B, L), xla_sw.PAD_SUBJECT, np.int8)
+    for i in range(B):
+        n = int(rng.integers(5, L))
+        subjects[i, :n] = rng.integers(0, 25, n)
+    mesh = make_mesh(8)
+    got = wave_query_sharded_scores(
+        mesh, q, subjects, m, interpret=True, gap_open=11, gap_extend=1
+    )
+    lens = (subjects != xla_sw.PAD_SUBJECT).sum(axis=1)
+    want = np.array(
+        [
+            oracle.sw_affine_score_diag(q, subjects[i, : lens[i]], m, 11, 1)
+            for i in range(B)
+        ],
+        dtype=np.int32,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_query_shard_affine_matches_single():
+    """SWConfig(query_shard=True, gap_open=...) end-to-end on the engine."""
+    from swtpu.alphabet import encode_str
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import Query, database_from_sequences
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(29)
+    alphabet = "ARNDCQEGHILKMFPSTWYV"
+    seqs = ["".join(rng.choice(list(alphabet), size=int(n))) for n in rng.integers(5, 150, 30)]
+    db = database_from_sequences(seqs)
+    qs = "".join(rng.choice(list(alphabet), size=80))
+    q = Query(name="Q", residues=encode_str(qs), raw=qs)
+
+    sharded = SearchEngine(
+        SWConfig(
+            use_wave=True, interpret=True, mesh_shape=(2,), query_shard=True,
+            gap_open=10, gap_extend=2,
+        )
+    ).search(q, db)
+    single = SearchEngine(
+        SWConfig(use_wave=True, interpret=True, gap_open=10, gap_extend=2)
+    ).search(q, db)
+    np.testing.assert_array_equal(sharded.scores, single.scores)

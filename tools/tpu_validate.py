@@ -98,6 +98,20 @@ def main() -> int:
     )
     check("affine gaps (Gotoh) vs oracle, compiled", ok_af)
 
+    # 4b2. affine band-carry hand-off (query sharding's H+F planes over
+    # the HBM carry), compiled: two band-groups chained via
+    # return_carry/top_in must equal the single full-band call.
+    s1_af, carry_af = _wave.sw_wave(
+        _jnp.asarray(lhs_af[:2]), _jnp.asarray(stack_af), Lc=256, Bt=128,
+        gap_open=11, gap_extend=1, return_carry=True,
+    )
+    s2_af = _wave.sw_wave(
+        _jnp.asarray(lhs_af[2:]), _jnp.asarray(stack_af), _jnp.asarray(carry_af),
+        Lc=256, Bt=128, gap_open=11, gap_extend=1,
+    )
+    got_split_af = np.maximum(np.asarray(s1_af), np.asarray(s2_af))
+    check("affine band-carry split == full (H+F planes)", bool((got_split_af == got_af).all()))
+
     # 4c. affine through the FULL engine on the subset database
     res_eng_af = SearchEngine(SWConfig(gap_open=11, gap_extend=1)).search(q, db)
     ok_eng_af = all(
