@@ -17,7 +17,11 @@ host-local compute*:
 Full per-sequence score arrays stay host-local (callers that need the
 complete array concatenate shard outputs offline); shipping 559k int32s
 across DCN per query would swamp the candidate merge, so the distributed
-API is top-K-first, matching BASELINE.json config 5.
+API is top-K-first, matching BASELINE.json config 5.  In the default
+top-K-first mode the LOCAL engine also runs with device top-K, so the
+per-sequence score array is never even transferred device->host — only K
+hit rows leave each chip; construct with ``full_scores=True`` to keep the
+full local array (DistributedResult.local_scores).
 
 Tested without a pod by spawning N local processes with
 ``jax.distributed.initialize`` on CPU (tests/test_distributed.py).
@@ -39,7 +43,10 @@ class DistributedResult:
     """Global top-K hits + this host's local scores."""
 
     hits: List[Tuple[int, int]]  # (global_id, score), score desc, id asc
-    local_scores: np.ndarray  # (n_local,) this host's shard, file order
+    # (n_local,) this host's shard in file order — None in the default
+    # top-K-first mode (device top-K never materialises the array; pass
+    # full_scores=True to the engine to keep it).
+    local_scores: Optional[np.ndarray]
     shard_base: int  # global id of this host's first sequence
 
 
@@ -72,19 +79,28 @@ class DistributedSearchEngine:
     and top_k (it contains a collective gather).
     """
 
-    def __init__(self, config: SWConfig = SWConfig()):
+    def __init__(self, config: SWConfig = SWConfig(), full_scores: bool = False):
         import jax
 
         self.config = config
+        self.full_scores = full_scores
         self.process_id = jax.process_index()
         self.process_count = jax.process_count()
+        # Local engines cached per effective top_k: in top-K-first mode
+        # (default) the wave path reduces on device and transfers only K
+        # hit rows per shard; full_scores=True strips top_k so the full
+        # local array is computed and kept (the round-3 behavior).
+        self._engines = {}
+
+    def _engine(self, top_k: Optional[int]):
         from ..models.search import SearchEngine
 
-        # The local engine must always produce the full score array
-        # (DistributedResult.local_scores is part of the contract, and the
-        # candidate merge below slices result.top_k); a user-set top_k would
-        # route the wave path to device top-K with scores=None, so strip it.
-        self._local = SearchEngine(config.replace(top_k=None))
+        key = None if self.full_scores else top_k
+        eng = self._engines.get(key)
+        if eng is None:
+            eng = SearchEngine(self.config.replace(top_k=key))
+            self._engines[key] = eng
+        return eng
 
     def shard_of(self, db: Database) -> Tuple[Database, int]:
         """This process's contiguous shard of a globally-parsed database."""
@@ -110,19 +126,32 @@ class DistributedSearchEngine:
         import jax.numpy as jnp
         from jax.experimental import multihost_utils
 
-        # Per-shard retry (SURVEY §5 failure handling): one transient local
-        # failure (e.g. a device OOM after an HBM fragmentation spike, or a
-        # preempted remote attach) retries once with streaming (non-resident)
-        # dispatch before taking the whole collective down.
+        # Per-shard retry (SURVEY §5 failure handling): one OOM-classified
+        # local failure (e.g. a device OOM after an HBM fragmentation spike)
+        # retries once with streaming (non-resident) dispatch before taking
+        # the whole collective down.  Deterministic errors (bad config, a
+        # bug) propagate immediately — a blind retry would silently re-run
+        # the shard and discard the real cause.
+        from ..utils.memory import is_oom
+
         try:
-            result = self._local.search(query, local_db)
-        except Exception:
+            result = self._engine(top_k).search(query, local_db)
+        except Exception as exc:
+            if not is_oom(exc):
+                raise
             from ..models.search import SearchEngine
 
-            fallback = SearchEngine(self.config.replace(device_resident=False, top_k=None))
-            result = fallback.search(query, local_db)
-        local_scores = result.scores
-        k = min(top_k, max(local_scores.shape[0], 1))
+            fallback = SearchEngine(
+                self.config.replace(
+                    device_resident=False, top_k=None if self.full_scores else top_k
+                )
+            )
+            try:
+                result = fallback.search(query, local_db)
+            except Exception as exc2:  # chain: both failures are evidence
+                raise exc2 from exc
+        local_scores = result.scores  # None in top-K-first mode
+        k = min(top_k, max(local_db.n, 1))
 
         # Local candidates (pad to a fixed K so every host gathers the same
         # shape; empty shards contribute score -1 which never wins).

@@ -80,7 +80,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     "process": eng.process_id,
                     "n_processes": eng.process_count,
                     "shard_base": res.shard_base,
-                    "n_local": int(res.local_scores.shape[0]),
+                    "n_local": int(shard.n),
                     "hits": res.hits,
                     "wall_seconds": wall,
                 }
@@ -88,7 +88,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         )
     else:
         print(f"# process {eng.process_id}/{eng.process_count} "
-              f"shard [{base}, {base + res.local_scores.shape[0]}) wall {wall:.2f}s")
+              f"shard [{base}, {base + shard.n}) wall {wall:.2f}s")
         for sid, score in res.hits:
             print(f"{sid}:{score}")
     return 0

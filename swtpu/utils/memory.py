@@ -49,10 +49,23 @@ def resident_cell_budget(configured: int, safety: float = 0.35) -> int:
     return min(configured, int(free * safety))
 
 
+def is_oom(exc: BaseException) -> bool:
+    """True when ``exc`` is an XLA/device memory exhaustion (the only
+    failure class worth retrying with a smaller-footprint dispatch)."""
+    msg = str(exc)
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "Out of memory" in msg
+        or "out of memory" in msg
+        # reraise_oom's own re-raised form (so retry classification keyed
+        # on this predicate also catches already-wrapped errors).
+        or "device out of memory" in msg
+    )
+
+
 def reraise_oom(exc: BaseException, what: str) -> None:
     """Re-raise an XLA RESOURCE_EXHAUSTED abort as an actionable error."""
-    msg = str(exc)
-    if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "out of memory" in msg:
+    if is_oom(exc):
         raise RuntimeError(
             f"device out of memory while {what}. "
             "Lower SWConfig.device_resident_cells (or set device_resident=False "

@@ -38,11 +38,14 @@ WORKER = textwrap.dedent(
     affine = os.environ.get("SWTPU_AFFINE") == "1"
     cfg = SWConfig(batch_rows=8, length_quantum=8, use_wave=wave, interpret=wave,
                    gap_open=10 if affine else None, gap_extend=1 if affine else None)
-    eng = D.DistributedSearchEngine(cfg)
+    full = os.environ.get("SWTPU_FULL") == "1"
+    eng = D.DistributedSearchEngine(cfg, full_scores=full)
     shard, base = eng.shard_of(db)
     res = eng.search(q, shard, base, top_k=5)
+    n_local = int(res.local_scores.shape[0]) if full else int(shard.n)
     print("RESULT " + json.dumps({"pid": pid, "hits": res.hits,
-                                  "n_local": int(res.local_scores.shape[0]),
+                                  "n_local": n_local,
+                                  "scores_none": res.local_scores is None,
                                   "base": base}))
     """
 )
@@ -57,14 +60,20 @@ def _free_port() -> int:
 
 
 @pytest.mark.parametrize(
-    "nproc,n_seqs,wave,affine",
-    [(2, 30, False, False), (3, 31, False, False), (2, 24, True, False), (2, 24, True, True)],
+    "nproc,n_seqs,wave,affine,full",
+    [
+        (2, 30, False, False, True),
+        (3, 31, False, False, False),
+        (2, 24, True, False, False),
+        (2, 24, True, True, False),
+    ],
 )
-def test_multi_process_distributed_search(tmp_path, nproc, n_seqs, wave, affine):
+def test_multi_process_distributed_search(tmp_path, nproc, n_seqs, wave, affine, full):
     """2 processes (even shards), 3 processes (odd count: uneven
     shard_range split, VERDICT round-1 item 7), the wavefront kernel
     (interpret) as the per-host engine, and affine gaps across the
-    cross-host top-K merge."""
+    cross-host top-K merge.  full=False runs the default top-K-first mode
+    and asserts the full score array was NEVER materialised host-side."""
     from swtpu.config import SWConfig
     from swtpu.io.fasta import parse_database, parse_query, write_fasta
     from swtpu.models.search import SearchEngine
@@ -88,6 +97,7 @@ def test_multi_process_distributed_search(tmp_path, nproc, n_seqs, wave, affine)
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
         **({"SWTPU_WAVE": "1"} if wave else {}),
         **({"SWTPU_AFFINE": "1"} if affine else {}),
+        **({"SWTPU_FULL": "1"} if full else {}),
     }
     procs = [
         subprocess.Popen(
@@ -114,6 +124,14 @@ def test_multi_process_distributed_search(tmp_path, nproc, n_seqs, wave, affine)
     # Every process computed the same global top-K.
     for pid in range(1, nproc):
         assert results[pid]["hits"] == results[0]["hits"]
+    # Top-K-first mode on the wave path: no full score array existed on
+    # any host (device top-K transferred only hit rows).  The XLA path
+    # materialises scores regardless; full=True keeps them by contract.
+    for p in range(nproc):
+        if full:
+            assert not results[p]["scores_none"]
+        elif wave:
+            assert results[p]["scores_none"]
     # Shards cover the database exactly and bases are cumulative.
     assert sum(results[p]["n_local"] for p in range(nproc)) == n_seqs
     base = 0
@@ -159,3 +177,51 @@ def test_launch_entry_single_process(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     d = _json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][0])
     assert d["n_local"] == 12 and len(d["hits"]) == 3
+
+
+def test_deterministic_error_propagates_unretried(monkeypatch):
+    """A non-OOM local failure must NOT be silently retried in streaming
+    mode — it propagates with the original traceback (round-3 verdict:
+    the bare `except Exception` retry discarded deterministic errors)."""
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import database_from_sequences, Query
+    from swtpu.parallel.distributed import DistributedSearchEngine
+    from swtpu.alphabet import encode_str
+
+    eng = DistributedSearchEngine(SWConfig(batch_rows=8, length_quantum=8))
+    db = database_from_sequences(["ARNDC", "QEGHI"])
+    q = Query(name="q", residues=encode_str("ARN"), raw="ARN")
+
+    class Boom:
+        def search(self, *a, **k):
+            raise ValueError("deterministic bug")
+
+    eng._engines[5] = Boom()
+    with pytest.raises(ValueError, match="deterministic bug"):
+        eng.search(q, db, 0, top_k=5)
+
+
+def test_oom_error_retries_streaming(monkeypatch):
+    """An OOM-classified local failure retries once with non-resident
+    dispatch and still produces the correct merged top-K."""
+    from swtpu.config import SWConfig
+    from swtpu.io.fasta import database_from_sequences, Query
+    from swtpu.models.search import SearchEngine
+    from swtpu.parallel.distributed import DistributedSearchEngine
+    from swtpu.alphabet import encode_str
+
+    cfg = SWConfig(batch_rows=8, length_quantum=8)
+    eng = DistributedSearchEngine(cfg)
+    rng = np.random.default_rng(4)
+    seqs = ["".join("ARNDCQEGHILKMFPSTWYV"[i] for i in rng.integers(0, 20, 40)) for _ in range(10)]
+    db = database_from_sequences(seqs)
+    q = Query(name="q", residues=np.asarray(rng.integers(0, 20, 20), np.int8), raw="")
+
+    class FakeOOM:
+        def search(self, *a, **k):
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory allocating 4.0G")
+
+    eng._engines[3] = FakeOOM()
+    res = eng.search(q, db, 0, top_k=3)
+    want = SearchEngine(cfg).search(q, db).top_k(3)
+    assert res.hits == [(int(i), int(s)) for i, s in want]
