@@ -981,10 +981,10 @@ class SearchEngine:
         if not queries:
             return []
         if cfg.prefilter is not None:
-            # Heuristic mode: candidate sets differ per query, so batched
-            # shared-dispatch packing does not apply; the signature matrix
-            # and coarse matmul are shared via the per-db cache.
-            return [self._search_prefiltered(q, db) for q in queries]
+            # Heuristic mode: one batched coarse dispatch + enqueued exact
+            # phases with a single barrier (candidate sets differ per
+            # query, so shared-dispatch packing does not apply).
+            return self._search_many_prefiltered(queries, db)
         if self._wave_enabled:
             if packed is None:
                 packed = self._resident_packed(db)
@@ -1240,6 +1240,103 @@ class SearchEngine:
         )
         return SearchResult(scores=scores, metrics=metrics)
 
+    def search_queued(
+        self,
+        queries: List[Query],
+        db: Database,
+        plan: Optional[BatchPlan] = None,
+    ) -> List[SearchResult]:
+        """Throughput-protocol search: enqueue one exact single-query
+        dispatch per query back-to-back, then transfer every result with
+        ONE device->host barrier.
+
+        Complements :meth:`search_many` (which FOLDS equal-pad queries into
+        shared dispatches): here each query keeps its own dispatch — any
+        length mix, no folding constraints — and the device FIFO hides the
+        fixed per-search host/transfer latency that dominates small
+        databases (round-4 decomposition, BENCHMARKS.md: at the 60k DB a
+        single search pays ~37 ms of tunnel/host fixed cost over ~75 ms of
+        device work; queued, the fixed cost amortises across the batch and
+        the device runs at its ceiling).  The reference's Performance suite
+        is this exact workload — 17 back-to-back full-DB searches
+        (test/swissprot_tests.cpp:99-115).
+
+        Full score arrays only (engine top_k is ignored here); per-query
+        times are cell-proportional shares (``SearchMetrics.attributed``).
+        Requires a resident packed database — streaming/query-shard
+        configurations fall back to sequential :meth:`search`.
+        """
+        cfg = self.config
+        if not queries:
+            return []
+        packed = self._resident_packed(db, plan)
+        if packed is None or (cfg.query_shard and self._mesh is not None):
+            return [self.search(q, db) for q in queries]
+        from ..ops import wave_sw
+
+        t_start = time.perf_counter()
+        step = self._packed_step()
+        futs = []
+        profiles = []
+        for q in queries:
+            profile = xla_sw.make_profile(
+                q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, cfg.query_strip)
+            )
+            profile_dev = self._device_put(profile)
+            lhsB_dev = None
+            if packed.wave_groups:
+                prof_w = xla_sw.make_profile(
+                    q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, wave_sw.W)
+                )
+                lhsB = wave_sw.build_lhs_banded(prof_w)
+                if self._mesh is None:
+                    lhsB_dev = jnp.asarray(lhsB)
+                else:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    lhsB_dev = jax.device_put(lhsB, NamedSharding(self._mesh, P()))
+            futs.append(
+                step(
+                    profile_dev,
+                    lhsB_dev,
+                    tuple(g.stack for g in packed.wave_groups),
+                    tuple(g.stack for g in packed.groups),
+                    tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
+                    tuple(g.sat for g in packed.seg_groups),
+                    wave_segs=tuple(g.n_segs for g in packed.wave_groups),
+                )
+            )
+            profiles.append(profile)
+        try:
+            flats = [np.asarray(f) for f in futs]
+        except Exception as e:
+            from ..utils.memory import reraise_oom
+
+            reraise_oom(e, f"queued scoring of {len(queries)} queries")
+        device_seconds = time.perf_counter() - t_start
+
+        results = []
+        total_true = sum(q.length for q in queries) * max(db.length_sum, 1)
+        for q, flat, profile in zip(queries, flats, profiles):
+            scores = self._reduce_flat(flat, packed, db, profile)
+            share = (q.length * db.length_sum) / max(total_true, 1)
+            results.append(
+                SearchResult(
+                    scores=scores,
+                    metrics=SearchMetrics(
+                        query_length=q.length,
+                        n_subjects=db.n,
+                        residue_sum=db.length_sum,
+                        padded8_sum=db.padded_length_sum(8),
+                        packed_cells=profile.shape[0] * packed.total_cells,
+                        wall_seconds=(time.perf_counter() - t_start) * share,
+                        device_seconds=max(device_seconds * share, 1e-12),
+                        attributed=True,
+                    ),
+                )
+            )
+        return results
+
     def _exact_engine(self) -> "SearchEngine":
         """Lazy exhaustive engine for the prefilter's exact phase (same
         config minus the heuristic knobs; full score array over the
@@ -1270,6 +1367,88 @@ class SearchEngine:
         sig_dev, pop_dev = jnp.asarray(sig), jnp.asarray(pop)
         self._sig_cache = (db, sig_dev, pop_dev)
         return sig_dev, pop_dev
+
+    def _search_many_prefiltered(self, queries: List[Query], db: Database) -> List[SearchResult]:
+        """Batched heuristic serving (round-3 VERDICT item 5): ONE coarse
+        dispatch scores the whole query batch against the resident
+        signature matrix ((Q, DIM) x (n, DIM)^T matmul + per-query device
+        top-k), then every query's exact-phase rescore is ENQUEUED and a
+        single device->host barrier drains the batch — two tunnel round
+        trips per batch instead of two per query (~25 ms each).
+
+        Degenerate queries (empty signature, zero coarse signal) fall back
+        to the per-query path; non-wave engines and exhaustive candidate
+        fractions ride it entirely.
+        """
+        from ..ops import prefilter as pf
+
+        cfg = self.config
+        n_cand = (
+            min(
+                max(
+                    int(np.ceil(cfg.prefilter * db.n)),
+                    min(cfg.prefilter_min_candidates, db.n),
+                    4 * cfg.top_k,
+                ),
+                db.n,
+            )
+            if db.n
+            else 0
+        )
+        if not self._wave_enabled or db.n == 0 or n_cand >= db.n:
+            return [self._search_prefiltered(q, db) for q in queries]
+        t_start = time.perf_counter()
+        timer = PhaseTimer()
+        with timer.phase("prefilter_signatures"):
+            sig_dev, pop_dev = self._prefilter_signatures(db)
+            qsigs = np.stack([pf.signature(q.residues) for q in queries])
+        out: List[Optional[SearchResult]] = [None] * len(queries)
+        good = [i for i in range(len(queries)) if qsigs[i].any()]
+        for i in range(len(queries)):
+            if i not in good:  # degenerate coarse signal: exhaustive path
+                out[i] = self._search_prefiltered(queries[i], db)
+        if good:
+            with timer.phase("prefilter_coarse"):
+                packed = np.asarray(
+                    pf.coarse_candidates_many(
+                        sig_dev, pop_dev, jnp.asarray(qsigs[good]), n_cand=n_cand
+                    )
+                )
+            t_exact = time.perf_counter()
+            pend = []
+            for row, qi in enumerate(good):
+                z_ids, r_ids = packed[row, 0], packed[row, 1]
+                if int(packed[row, 2, 0]) == 0:  # no shared bucket anywhere
+                    out[qi] = self._search_prefiltered(queries[qi], db)
+                    continue
+                cand = pf.merge_candidates(z_ids, r_ids, n_cand)
+                futs, jobs, cells = self._prefilter_exact_enqueue(queries[qi], db, cand, timer)
+                pend.append((qi, futs, jobs, cells, min(cfg.top_k, int(cand.shape[0]))))
+            resolved = [
+                (qi, self._prefilter_exact_resolve(futs, jobs, k), cells)
+                for qi, futs, jobs, cells, k in pend
+            ]
+            dev_s = time.perf_counter() - t_exact
+            wall = time.perf_counter() - t_start
+            total_cells = max(sum(c for _, _, c in resolved), 1)
+            for qi, hits, cells in resolved:
+                share = cells / total_cells
+                out[qi] = SearchResult(
+                    scores=None,
+                    hits=hits,
+                    metrics=SearchMetrics(
+                        query_length=queries[qi].length,
+                        n_subjects=db.n,
+                        residue_sum=db.length_sum,
+                        padded8_sum=db.padded_length_sum(8),
+                        packed_cells=cells,
+                        wall_seconds=wall * share,
+                        device_seconds=max(dev_s * share, 1e-12),
+                        phases=dict(timer.phases),
+                        attributed=True,
+                    ),
+                )
+        return out  # type: ignore[return-value]
 
     def _search_prefiltered(self, query: Query, db: Database) -> SearchResult:
         """Two-phase heuristic search (swtpu.ops.prefilter): MXU coarse
@@ -1355,6 +1534,18 @@ class SearchEngine:
         Returns (hits, device_seconds, packed_cells); hits are exact SW
         scores ordered (score desc, id asc), ids in file order.
         """
+        t_dev = time.perf_counter()
+        futs, jobs, cells = self._prefilter_exact_enqueue(query, db, cand, timer)
+        hits = self._prefilter_exact_resolve(futs, jobs, k)
+        return hits, time.perf_counter() - t_dev, cells
+
+    def _prefilter_exact_enqueue(self, query: Query, db: Database, cand: np.ndarray, timer):
+        """Enqueue (without transferring) the exact-phase rescore of one
+        query's candidate set.  Returns (futures, jobs, packed_cells); pass
+        them to :meth:`_prefilter_exact_resolve` to pay the device->host
+        barrier — the split lets the batched serving path enqueue a whole
+        query batch and sync ONCE (round-3 VERDICT item 5).
+        """
         from ..ops import wave_sw
         from ..utils.bucketing import pack_wave_group, wave_width_edges
 
@@ -1429,52 +1620,54 @@ class SearchEngine:
                 cand_pad[: part.shape[0]] = part
                 jobs.append((part, width, wave_sw.pick_lc(width), bt, cand_pad))
                 cells += qpad * bpad * (width + wave_sw.W)
-        t_dev = time.perf_counter()
         if flat_dev is not None:
             # Fused gather+score: ONE dispatch and ONE device->host
-            # transfer for both buckets (each tunnel round trip is ~25 ms).
-            flat_scores = np.asarray(
-                _gather_rescore(
-                    flat_dev,
-                    off_dev,
-                    lhsB,
-                    tuple(jnp.asarray(cand_pad) for *_, cand_pad in jobs),
-                    specs=tuple((width, lc, bt) for _, width, lc, bt, _ in jobs),
-                    gap=cfg.gap_penalty,
-                    unroll_block=cfg.wave_unroll_block,
-                    gap_open=cfg.gap_open,
-                    gap_extend=cfg.gap_extend,
-                    interpret=cfg.interpret,
-                )
+            # transfer for all buckets (each tunnel round trip is ~25 ms).
+            fut = _gather_rescore(
+                flat_dev,
+                off_dev,
+                lhsB,
+                tuple(jnp.asarray(cand_pad) for *_, cand_pad in jobs),
+                specs=tuple((width, lc, bt) for _, width, lc, bt, _ in jobs),
+                gap=cfg.gap_penalty,
+                unroll_block=cfg.wave_unroll_block,
+                gap_open=cfg.gap_open,
+                gap_extend=cfg.gap_extend,
+                interpret=cfg.interpret,
             )
+            return fut, jobs, cells
+        futs = [
+            wave_sw.sw_wave(
+                lhsB,
+                jnp.asarray(pack_wave_group(db, width, part, bt, bpad=cand_pad.shape[0]).stack),
+                gap=cfg.gap_penalty,
+                Lc=lc,
+                Bt=bt,
+                interpret=cfg.interpret,
+                unroll_block=cfg.wave_unroll_block,
+                gap_open=cfg.gap_open,
+                gap_extend=cfg.gap_extend,
+            )
+            for part, width, lc, bt, cand_pad in jobs
+        ]
+        return futs, jobs, cells
+
+    def _prefilter_exact_resolve(self, futs, jobs, k: int):
+        """Transfer an enqueued exact phase and extract the top-K hits."""
+        if isinstance(futs, list):  # per-bucket futures (host-packed path)
+            scores = np.concatenate(
+                [np.asarray(f)[: part.shape[0]] for f, (part, *_) in zip(futs, jobs)]
+            )
+        else:  # fused gather+rescore: one flat array covering every bucket
+            flat_scores = np.asarray(futs)
             split, pieces = 0, []
             for part, _, _, _, cand_pad in jobs:
                 pieces.append(flat_scores[split : split + part.shape[0]])
                 split += cand_pad.shape[0]
             scores = np.concatenate(pieces)
-        else:
-            futs = [
-                wave_sw.sw_wave(
-                    lhsB,
-                    jnp.asarray(pack_wave_group(db, width, part, bt, bpad=cand_pad.shape[0]).stack),
-                    gap=cfg.gap_penalty,
-                    Lc=lc,
-                    Bt=bt,
-                    interpret=cfg.interpret,
-                    unroll_block=cfg.wave_unroll_block,
-                    gap_open=cfg.gap_open,
-                    gap_extend=cfg.gap_extend,
-                )
-                for part, width, lc, bt, cand_pad in jobs
-            ]
-            scores = np.concatenate(
-                [np.asarray(f)[: part.shape[0]] for f, (part, *_) in zip(futs, jobs)]
-            )
         ids = np.concatenate([part for part, *_ in jobs])
-        dev_s = time.perf_counter() - t_dev
         order = np.lexsort((ids, -scores))[:k]
-        hits = [(int(ids[i]), int(scores[i])) for i in order]
-        return hits, dev_s, cells
+        return [(int(ids[i]), int(scores[i])) for i in order]
 
     def search(self, query: Query, db: Database, plan: Optional[BatchPlan] = None) -> SearchResult:
         cfg = self.config

@@ -174,6 +174,32 @@ def coarse_candidates(sig_db, popcounts, sig_q, n_cand: int):
     return jnp.stack([z_ids, r_ids, jnp.full_like(z_ids, jnp.max(c))])
 
 
+@functools.partial(jax.jit, static_argnames=("n_cand",))
+def coarse_candidates_many(sig_db, popcounts, sig_qs, n_cand: int):
+    """Batched coarse pass: Q queries in ONE dispatch (round-3 VERDICT
+    item 5 — the per-query loop paid a ~25 ms tunnel round trip each).
+
+    One (Q, DIM) x (n, DIM)^T int8 matmul against the resident signature
+    matrix, per-query z-correction and device top-k.  Returns
+    (Q, 3, n_cand) int32: [q, 0] z-ranked ids, [q, 1] raw-ranked ids,
+    [q, 2] broadcast max raw count (the host's no-signal fallback check) —
+    one transfer for the whole batch.
+    """
+    c = jax.lax.dot_general(
+        sig_qs.astype(jnp.int8),
+        sig_db,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (Q, n)
+    qk = jnp.sum(sig_qs.astype(jnp.float32), axis=1, keepdims=True)  # (Q, 1)
+    e = qk * popcounts.astype(jnp.float32)[None, :] / sig_db.shape[1]
+    z = (c.astype(jnp.float32) - e) * jax.lax.rsqrt(jnp.maximum(e, 1.0))
+    _, z_ids = jax.lax.top_k(z, n_cand)  # (Q, n_cand)
+    _, r_ids = jax.lax.top_k(c, n_cand)
+    mx = jnp.broadcast_to(jnp.max(c, axis=1)[:, None], z_ids.shape)
+    return jnp.stack([z_ids, r_ids, mx], axis=1)
+
+
 def pack_flat_words(residues: np.ndarray) -> np.ndarray:
     """Residue buffer as little-endian uint32 words (+1 slack word), the
     resident form :func:`gather_stack` gathers from."""

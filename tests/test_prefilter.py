@@ -309,3 +309,52 @@ def test_native_signatures_match_numpy():
     finally:
         del os.environ["SWTPU_NO_NATIVE"]
     assert np.array_equal(a, b)
+
+
+def test_search_many_prefiltered_matches_per_query():
+    """Batched heuristic serving: one coarse dispatch + one exact-phase
+    barrier for the batch — hits identical to per-query searches."""
+    from swtpu.config import SWConfig
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(57)
+    seqs = [_rand_seq(rng, int(rng.integers(20, 300))) for _ in range(300)]
+    db = database_from_sequences(seqs)
+    def mk(s):
+        t = s.decode() if isinstance(s, bytes) else s
+        return Query(name="q", residues=encode_str(t), raw=t)
+
+    queries = [mk(_rand_seq(rng, n)) for n in (40, 60, 80, 55)]
+    # Plant a near-exact homolog so one candidate set is meaningful.
+    queries.append(mk(seqs[13][2:70]))
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True, prefilter=0.1, top_k=5))
+    batch = eng.search_many(queries, db)
+    for q, res in zip(queries, batch):
+        single = SearchEngine(
+            SWConfig(use_wave=True, interpret=True, prefilter=0.1, top_k=5)
+        ).search(q, db)
+        assert res.hits == single.hits
+        assert res.scores is None
+        assert res.metrics.attributed
+
+
+def test_search_many_prefiltered_degenerate_queries():
+    """Queries shorter than K (empty signature) fall back per-query and
+    still return exhaustive-exact hits inside the batch."""
+    from swtpu.config import SWConfig
+    from swtpu.models.search import SearchEngine
+
+    rng = np.random.default_rng(58)
+    seqs = [_rand_seq(rng, int(rng.integers(20, 120))) for _ in range(150)]
+    db = database_from_sequences(seqs)
+    queries = [
+        Query(name="q", residues=encode_str("AR"), raw="AR"),  # len 2 < K=3
+        Query(name="q", residues=encode_str(_rand_seq(rng, 50).decode()), raw=""),
+    ]
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True, prefilter=0.1, top_k=4))
+    batch = eng.search_many(queries, db)
+    for q, res in zip(queries, batch):
+        single = SearchEngine(
+            SWConfig(use_wave=True, interpret=True, prefilter=0.1, top_k=4)
+        ).search(q, db)
+        assert res.hits == single.hits

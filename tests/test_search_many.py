@@ -168,3 +168,35 @@ def test_streaming_inflight_bounded(monkeypatch):
     assert live["issued"] >= 3, "need >=3 buckets to exercise the bound"
     assert live["max"] <= 2, f"{live['max']} buckets were in flight at once"
     assert res[0].metrics.attributed  # batched metrics are share-attributed
+
+
+def test_search_queued_matches_single():
+    """Throughput protocol: per-query dispatches enqueued back-to-back with
+    one barrier — scores identical to sequential search() on both the wave
+    and the XLA engines, any length mix."""
+    seqs = [_rand_seq(int(RNG.integers(10, 400))) for _ in range(50)]
+    db = database_from_sequences(seqs)
+    queries = [_q(_rand_seq(n)) for n in (20, 75, 130, 260)]
+    for cfg in (
+        SWConfig(use_wave=True, interpret=True),
+        SWConfig(batch_rows=32, length_quantum=8),
+    ):
+        eng = SearchEngine(cfg)
+        queued = eng.search_queued(queries, db)
+        assert len(queued) == len(queries)
+        for q, res in zip(queries, queued):
+            single = eng.search(q, db)
+            np.testing.assert_array_equal(res.scores, single.scores)
+            assert res.metrics.attributed
+
+
+def test_search_queued_streaming_fallback():
+    """Non-resident databases fall back to sequential search()."""
+    seqs = [_rand_seq(40) for _ in range(10)]
+    db = database_from_sequences(seqs)
+    queries = [_q(_rand_seq(25)), _q(_rand_seq(30))]
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True, device_resident=False))
+    queued = eng.search_queued(queries, db)
+    ref = SearchEngine(SWConfig(use_wave=True, interpret=True))
+    for q, res in zip(queries, queued):
+        np.testing.assert_array_equal(res.scores, ref.search(q, db).scores)
