@@ -191,12 +191,14 @@ def main():
             "gcups_device_padded": round(m.gcups_device_padded, 2),
             "gcups_e2e": round(m.gcups, 2),
             "device_s": round(m.device_seconds, 4),
+            "transfer_s": round(m.transfer_seconds, 4),
             "wall_s": round(m.wall_seconds, 4),
         }
         if qname == "P01008" or headline is None:
             headline = m
         print(f"# {qname} len={m.query_length} device={m.gcups_device:.2f} GCUPS "
-              f"(padded {m.gcups_device_padded:.2f}), e2e={m.gcups:.2f} GCUPS", file=sys.stderr)
+              f"(padded {m.gcups_device_padded:.2f}), e2e={m.gcups:.2f} GCUPS, "
+              f"transfer={m.transfer_seconds*1e3:.0f}ms", file=sys.stderr)
 
     value = headline.gcups_device
     print(json.dumps({

@@ -626,9 +626,16 @@ class SearchEngine:
                 )
             # One flat output => ONE device->host transfer for the whole
             # query (per-group transfers each pay a dispatch round trip).
+            # The 4-byte checksum rides along as a compute barrier: callers
+            # fetch it FIRST to timestamp compute completion, then stream
+            # the bulk array — separating device_seconds from the result
+            # transfer (which through a remote tunnel can cost ~100 ms at
+            # SwissProt scale and is not device work).
             if not outs:  # empty database / empty shard
-                return jnp.zeros((0,), jnp.int32)
-            return jnp.concatenate([o.reshape(-1) for o in outs])
+                flat = jnp.zeros((0,), jnp.int32)
+            else:
+                flat = jnp.concatenate([o.reshape(-1) for o in outs])
+            return flat, jnp.sum(flat, dtype=jnp.int32)
 
         self._packed_step_fn = jax.jit(step, static_argnames=("seg_sats", "wave_segs"))
         return self._packed_step_fn
@@ -1050,9 +1057,11 @@ class SearchEngine:
             step = self._packed_step()
             self._packed_step_many_fn = jax.jit(
                 jax.vmap(
+                    # [0]: step returns (flat, checksum); the batched path
+                    # keeps its own single-transfer protocol.
                     lambda prof, stacks, seg_inputs, seg_sats: step(
                         prof, None, (), stacks, seg_inputs, seg_sats
-                    ),
+                    )[0],
                     in_axes=(0, None, None, None),
                 ),
                 static_argnames=("seg_sats",),
@@ -1202,17 +1211,24 @@ class SearchEngine:
 
         t_device = time.perf_counter()
         try:
-            flat_all = np.asarray(
-                self._packed_step()(
-                    profile_dev,
-                    lhsB_dev,
-                    tuple(g.stack for g in packed.wave_groups),
-                    tuple(g.stack for g in packed.groups),
-                    tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
-                    tuple(g.sat for g in packed.seg_groups),
-                    wave_segs=tuple(g.n_segs for g in packed.wave_groups),
-                )
+            flat_fut, mark = self._packed_step()(
+                profile_dev,
+                lhsB_dev,
+                tuple(g.stack for g in packed.wave_groups),
+                tuple(g.stack for g in packed.groups),
+                tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
+                tuple(g.sat for g in packed.seg_groups),
+                wave_segs=tuple(g.n_segs for g in packed.wave_groups),
             )
+            # Start the bulk copy before blocking on the checksum so the
+            # two transfers overlap; the 4-byte checksum lands first and
+            # timestamps compute completion (device_seconds = compute + one
+            # small-result round trip; the bulk transfer is accounted
+            # separately in transfer_seconds).
+            flat_fut.copy_to_host_async()
+            np.asarray(mark)
+            device_seconds = time.perf_counter() - t_device
+            flat_all = np.asarray(flat_fut)
         except Exception as e:  # surface XLA OOM aborts actionably
             from ..utils.memory import reraise_oom
 
@@ -1221,7 +1237,7 @@ class SearchEngine:
                 f"scoring a packed database of {packed.total_cells} cells "
                 f"(query length {query.length})",
             )
-        device_seconds = time.perf_counter() - t_device
+        transfer_seconds = time.perf_counter() - t_device - device_seconds
 
         with timer.phase("reduce"):
             scores = self._reduce_flat(flat_all, packed, db, profile)
@@ -1236,6 +1252,7 @@ class SearchEngine:
             packed_cells=qpad * packed.total_cells,
             wall_seconds=wall,
             device_seconds=max(device_seconds, 1e-12),
+            transfer_seconds=transfer_seconds,
             phases=dict(timer.phases),
         )
         return SearchResult(scores=scores, metrics=metrics)
@@ -1295,25 +1312,30 @@ class SearchEngine:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
                     lhsB_dev = jax.device_put(lhsB, NamedSharding(self._mesh, P()))
-            futs.append(
-                step(
-                    profile_dev,
-                    lhsB_dev,
-                    tuple(g.stack for g in packed.wave_groups),
-                    tuple(g.stack for g in packed.groups),
-                    tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
-                    tuple(g.sat for g in packed.seg_groups),
-                    wave_segs=tuple(g.n_segs for g in packed.wave_groups),
-                )
+            flat_fut, mark = step(
+                profile_dev,
+                lhsB_dev,
+                tuple(g.stack for g in packed.wave_groups),
+                tuple(g.stack for g in packed.groups),
+                tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
+                tuple(g.sat for g in packed.seg_groups),
+                wave_segs=tuple(g.n_segs for g in packed.wave_groups),
             )
+            # Stream each query's bulk result while later queries compute
+            # (the transfers overlap the device FIFO); the checksum of the
+            # LAST query is the compute barrier for the whole batch.
+            flat_fut.copy_to_host_async()
+            futs.append((flat_fut, mark))
             profiles.append(profile)
         try:
-            flats = [np.asarray(f) for f in futs]
+            np.asarray(futs[-1][1])
+            device_seconds = time.perf_counter() - t_start
+            flats = [np.asarray(f) for f, _ in futs]
         except Exception as e:
             from ..utils.memory import reraise_oom
 
             reraise_oom(e, f"queued scoring of {len(queries)} queries")
-        device_seconds = time.perf_counter() - t_start
+        transfer_seconds = time.perf_counter() - t_start - device_seconds
 
         results = []
         total_true = sum(q.length for q in queries) * max(db.length_sum, 1)
@@ -1331,6 +1353,7 @@ class SearchEngine:
                         packed_cells=profile.shape[0] * packed.total_cells,
                         wall_seconds=(time.perf_counter() - t_start) * share,
                         device_seconds=max(device_seconds * share, 1e-12),
+                        transfer_seconds=transfer_seconds * share,
                         attributed=True,
                     ),
                 )

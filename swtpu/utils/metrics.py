@@ -57,6 +57,15 @@ class SearchMetrics:
     # wall_seconds as this query's serving latency when attributed is set —
     # the batch-level wall clock is the latency every query in it observed.
     attributed: bool = False
+    # Result device->host transfer time, measured separately from
+    # device_seconds where the engine can (full-score-array paths fetch a
+    # 4-byte checksum first as the compute barrier, then stream the bulk
+    # array).  On a locally-attached TPU this is microseconds; through a
+    # remote tunnel the bulk score array (2.2 MB at SwissProt scale) can
+    # cost ~100 ms that is NOT device compute.  device_seconds still
+    # includes one small-result round trip; wall_seconds includes
+    # everything.
+    transfer_seconds: float = 0.0
 
     @property
     def gcups(self) -> float:

@@ -60,7 +60,8 @@ def test_topk_zero_score_boundary_falls_back():
 
 
 def test_distributed_engine_with_topk_config():
-    """config.top_k must not break DistributedResult.local_scores."""
+    """Round-4 contract: default mode is top-K-first (no local score array
+    materialises); full_scores=True opts back into the round-3 behavior."""
     import jax
 
     if jax.process_count() != 1:
@@ -70,13 +71,19 @@ def test_distributed_engine_with_topk_config():
     seqs = ["ACDEFGHIKLWW", "WWWWWWWW", "MNPQRSTVWY", "AAAAAAA"] * 4
     db = database_from_sequences(seqs)
     q = _q("WWACDEFGHIKL")
+    ref = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
     eng = DistributedSearchEngine(SWConfig(use_wave=True, interpret=True, top_k=3))
     local_db, base = eng.shard_of(db)
     res = eng.search(q, local_db, base, top_k=3)
-    assert res.local_scores is not None and res.local_scores.shape[0] == db.n
-    ref = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q, db)
+    assert res.local_scores is None  # device top-K: full array never lands
     assert res.hits == ref.top_k(3)
-    np.testing.assert_array_equal(res.local_scores, ref.scores)
+    full_eng = DistributedSearchEngine(
+        SWConfig(use_wave=True, interpret=True, top_k=3), full_scores=True
+    )
+    res_full = full_eng.search(q, local_db, base, top_k=3)
+    assert res_full.local_scores is not None and res_full.local_scores.shape[0] == db.n
+    assert res_full.hits == ref.top_k(3)
+    np.testing.assert_array_equal(res_full.local_scores, ref.scores)
 
 
 def test_blockedh_no_pingpong_at_block_boundary(monkeypatch):

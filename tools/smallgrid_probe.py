@@ -97,6 +97,44 @@ def main():
     for split in (1, 2, 4, 8, 16):
         run(split, 512)
 
+    # Single-call lane sweep: same per-lane work, growing n_tiles.  With
+    # the split sweep above this separates "per-call fixed cost" from
+    # "per-tile cost growth inside one call" (the round-4 anomaly: one
+    # (16, bands, chunks) call ran ~2x slower than 16 (1, bands, chunks)
+    # calls back-to-back).
+    def run_single(b, lc):
+        @jax.jit
+        def step(lhsB, subjT):
+            return wave_sw.sw_wave(lhsB, subjT, gap=2, Lc=lc, Bt=512)
+
+        staged = []
+        for rep in range(args.reps):
+            a, s = make_inputs(100 + rep)
+            s = jax.lax.dynamic_slice(s, (0, 0), (L2, b))
+            staged.append((a, s))
+        for a, s in staged:
+            np.asarray(jnp.sum(a) + jnp.sum(s))
+        np.asarray(step(*staged[0]))  # warm-up compile
+        t0 = time.perf_counter()
+        for a, s in staged:
+            r = step(a, s)
+        np.asarray(r)
+        best = (time.perf_counter() - t0) / len(staged)
+        g = 1e-9 * (qpad * b * L2) / best
+        print(
+            f"single-call B={b:5d} Lc={lc:3d} grid={b // 512}x{n_bands}x{L2 // lc}"
+            f" best={best*1e3:7.2f} ms  padded {g:6.1f} GCUPS"
+        )
+
+    for b in (512, 1024, 2048, 4096, 8192):
+        run_single(b, Lc)
+    # Lc sensitivity at full lanes (the anomaly shape uses Lc=256 whose
+    # scratch leaves <1 MB of VMEM headroom; smaller chunks restore
+    # double-buffer room at more per-chunk overhead).
+    for lc in (128, 96, 64):
+        if L2 % lc == 0:
+            run_single(B, lc)
+
 
 if __name__ == "__main__":
     main()
