@@ -66,6 +66,9 @@ def main():
                     help="number of DB sequences (default: SwissProt scale, "
                          "matching the reference Performance suite's 559,228)")
     ap.add_argument("--pallas", action="store_true", help="force the Pallas kernel (default: XLA fast16 path)")
+    ap.add_argument("--unroll-block", type=int, default=None,
+                    help="wavefront DP block-unroll U (fast-cold mode: ~Lc/U x "
+                         "faster Mosaic compiles, disables subject chaining)")
     ap.add_argument("--batched", action="store_true", help="score all queries in ONE vmapped dispatch (search_many)")
     ap.add_argument("--queued", action="store_true",
                     help="throughput protocol: enqueue every query's dispatch "
@@ -85,7 +88,7 @@ def main():
 
     n_seqs = 4000 if args.quick else args.db_size
     db = synth_database(n_seqs)
-    engine = SearchEngine(SWConfig(use_pallas=args.pallas))
+    engine = SearchEngine(SWConfig(use_pallas=args.pallas, wave_unroll_block=args.unroll_block))
     plan = engine.plan(db)
 
     # The reference Performance suite sweeps query lengths 144..5147; we key
@@ -134,7 +137,9 @@ def main():
             idx = rngw.choice(res.shape[0], min(4, res.shape[0]), replace=False)
             res[idx] = rngw.integers(0, 25, idx.shape[0]).astype(np.int8)
             warm.append(_Q(name=q.name, residues=res, raw=""))
-        engine.search_queued(warm, db, plan=plan)  # warm-up / compile
+        t_c = engine.warmup(qs, db, plan=plan)  # parallel compiles
+        print(f"# warmup (parallel compiles): {t_c:.1f}s", file=sys.stderr)
+        engine.search_queued(warm, db, plan=plan)  # warm pass (result-cache hygiene)
         t0 = time.perf_counter()
         res = engine.search_queued(qs, db, plan=plan)
         dt = time.perf_counter() - t0

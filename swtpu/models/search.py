@@ -1257,6 +1257,87 @@ class SearchEngine:
         )
         return SearchResult(scores=scores, metrics=metrics)
 
+    def _queued_dispatch(self, q: Query, packed: PackedDatabase, step):
+        """Build one query's device inputs and enqueue its fused-step
+        dispatch.  Returns (flat_future, checksum_future, host_profile)."""
+        cfg = self.config
+        from ..ops import wave_sw
+
+        profile = xla_sw.make_profile(
+            q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, cfg.query_strip)
+        )
+        profile_dev = self._device_put(profile)
+        lhsB_dev = None
+        if packed.wave_groups:
+            prof_w = xla_sw.make_profile(
+                q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, wave_sw.W)
+            )
+            lhsB = wave_sw.build_lhs_banded(prof_w)
+            if self._mesh is None:
+                lhsB_dev = jnp.asarray(lhsB)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                lhsB_dev = jax.device_put(lhsB, NamedSharding(self._mesh, P()))
+        flat_fut, mark = step(
+            profile_dev,
+            lhsB_dev,
+            tuple(g.stack for g in packed.wave_groups),
+            tuple(g.stack for g in packed.groups),
+            tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
+            tuple(g.sat for g in packed.seg_groups),
+            wave_segs=tuple(g.n_segs for g in packed.wave_groups),
+        )
+        return flat_fut, mark, profile
+
+    def warmup(
+        self,
+        queries: List[Query],
+        db: Database,
+        plan: Optional[BatchPlan] = None,
+        threads: int = 8,
+    ) -> float:
+        """Compile every fused-step shape ``queries`` will need, with the
+        compiles overlapped across a thread pool.  Returns seconds spent.
+
+        A jit call whose shape is uncompiled BLOCKS its calling thread for
+        the full trace+compile, so a cold serial sweep pays ~13 query
+        rungs x seconds of Mosaic compile back to back (~14 min of the
+        16.7-min cold 17-query sweep through the remote tunnel,
+        BENCHMARKS.md "Cold-start").  The jit cache is thread-safe and the
+        compile path releases the GIL, so firing one dummy dispatch per
+        DISTINCT query-pad shape from a thread pool overlaps the compiles
+        (concurrency measured by tools/compile_probe.py).  Dummy dispatches
+        run real (tiny) device work, so the jit cache is warm for the real
+        searches — unlike ``.lower().compile()``, whose result would not
+        land in the dispatch cache.
+
+        No-op (returns 0.0) for non-resident / query-shard configurations,
+        matching :meth:`search_queued`'s fallback.
+        """
+        cfg = self.config
+        packed = self._resident_packed(db, plan)
+        if packed is None or (cfg.query_shard and self._mesh is not None) or not queries:
+            return 0.0
+        t0 = time.perf_counter()
+        step = self._packed_step()
+        seen = {}
+        for q in queries:
+            key = self._query_pad(q.length, cfg.query_strip)
+            if key not in seen:
+                seen[key] = q
+
+        def fire(q: Query) -> None:
+            flat_fut, mark, _ = self._queued_dispatch(q, packed, step)
+            np.asarray(mark)  # block this thread until compiled + executed
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
+            # list() propagates the first worker exception (e.g. OOM)
+            list(ex.map(fire, seen.values()))
+        return time.perf_counter() - t0
+
     def search_queued(
         self,
         queries: List[Query],
@@ -1289,38 +1370,13 @@ class SearchEngine:
         packed = self._resident_packed(db, plan)
         if packed is None or (cfg.query_shard and self._mesh is not None):
             return [self.search(q, db) for q in queries]
-        from ..ops import wave_sw
 
         t_start = time.perf_counter()
         step = self._packed_step()
         futs = []
         profiles = []
         for q in queries:
-            profile = xla_sw.make_profile(
-                q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, cfg.query_strip)
-            )
-            profile_dev = self._device_put(profile)
-            lhsB_dev = None
-            if packed.wave_groups:
-                prof_w = xla_sw.make_profile(
-                    q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, wave_sw.W)
-                )
-                lhsB = wave_sw.build_lhs_banded(prof_w)
-                if self._mesh is None:
-                    lhsB_dev = jnp.asarray(lhsB)
-                else:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    lhsB_dev = jax.device_put(lhsB, NamedSharding(self._mesh, P()))
-            flat_fut, mark = step(
-                profile_dev,
-                lhsB_dev,
-                tuple(g.stack for g in packed.wave_groups),
-                tuple(g.stack for g in packed.groups),
-                tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
-                tuple(g.sat for g in packed.seg_groups),
-                wave_segs=tuple(g.n_segs for g in packed.wave_groups),
-            )
+            flat_fut, mark, profile = self._queued_dispatch(q, packed, step)
             # Stream each query's bulk result while later queries compute
             # (the transfers overlap the device FIFO); the checksum of the
             # LAST query is the compute barrier for the whole batch.

@@ -200,3 +200,27 @@ def test_search_queued_streaming_fallback():
     ref = SearchEngine(SWConfig(use_wave=True, interpret=True))
     for q, res in zip(queries, queued):
         np.testing.assert_array_equal(res.scores, ref.search(q, db).scores)
+
+
+def test_warmup_then_queued():
+    """Parallel warmup compiles the fused-step shapes concurrently and the
+    subsequent queued searches return exact scores (jit cache shared
+    across threads)."""
+    seqs = [_rand_seq(int(RNG.integers(10, 300))) for _ in range(40)]
+    db = database_from_sequences(seqs)
+    queries = [_q(_rand_seq(n)) for n in (20, 75, 75, 130)]  # dup length: dedup path
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True))
+    spent = eng.warmup(queries, db, threads=4)
+    assert spent > 0.0
+    ref = SearchEngine(SWConfig(use_wave=True, interpret=True))
+    for q, res in zip(queries, eng.search_queued(queries, db)):
+        np.testing.assert_array_equal(res.scores, ref.search(q, db).scores)
+
+
+def test_warmup_noop_nonresident():
+    """Warmup is a no-op for non-resident configurations (matching the
+    queued fallback)."""
+    seqs = [_rand_seq(40) for _ in range(10)]
+    db = database_from_sequences(seqs)
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True, device_resident=False))
+    assert eng.warmup([_q(_rand_seq(25))], db) == 0.0
