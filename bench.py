@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--unroll-block", type=int, default=None,
                     help="wavefront DP block-unroll U (fast-cold mode: ~Lc/U x "
                          "faster Mosaic compiles, disables subject chaining)")
+    ap.add_argument("--compose", action="store_true",
+                    help="composed band-group dispatch (wave_compose): "
+                         "O(log) compiled rungs, zero-compile novel lengths "
+                         "— the cold-start serving mode")
     ap.add_argument("--batched", action="store_true", help="score all queries in ONE vmapped dispatch (search_many)")
     ap.add_argument("--queued", action="store_true",
                     help="throughput protocol: enqueue every query's dispatch "
@@ -88,7 +92,11 @@ def main():
 
     n_seqs = 4000 if args.quick else args.db_size
     db = synth_database(n_seqs)
-    engine = SearchEngine(SWConfig(use_pallas=args.pallas, wave_unroll_block=args.unroll_block))
+    engine = SearchEngine(SWConfig(
+        use_pallas=args.pallas,
+        wave_unroll_block=args.unroll_block,
+        wave_compose=args.compose,
+    ))
     plan = engine.plan(db)
 
     # The reference Performance suite sweeps query lengths 144..5147; we key

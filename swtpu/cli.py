@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
         "tunnels); default fully unrolls",
     )
     p.add_argument(
+        "--compose",
+        action="store_true",
+        help="composed band-group dispatch (wave_compose): O(log) compiled "
+        "kernel rungs instead of one per query length — seconds-scale cold "
+        "start, zero-compile novel query lengths",
+    )
+    p.add_argument(
         "--prefilter",
         type=float,
         default=None,
@@ -123,6 +130,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             mesh_shape=(args.mesh,),
             query_shard=args.query_shard,
             wave_unroll_block=args.unroll_block,
+            wave_compose=args.compose,
             prefilter=args.prefilter,
         )
     except ValueError as e:

@@ -127,6 +127,21 @@ class SWConfig:
     # picks each bucket's chain factor by modeled padded-cell cost.
     wave_chain: Optional[bool] = None
 
+    # Composed band-group dispatch: score a query as a chain of fixed-size
+    # band groups (powers of two up to 128) over the wavefront kernel's HBM
+    # bottom-row carry hand-off (sw_wave top_in/return_carry) instead of
+    # one monolithic per-query-length dispatch.  The compiled-shape family
+    # collapses from one-per-query-pad to the O(log) band-group rungs, so a
+    # cold serving fleet compiles in seconds-to-a-minute and a NOVEL query
+    # length never stalls on a fresh Mosaic compile (any length composes
+    # from already-compiled rungs).  Steady-state cost is a few extra
+    # dispatches per query plus one carry re-read per group boundary
+    # (~4 B/lane-column — measured in BENCHMARKS "Cold-start").  Applies
+    # to single-query dispatches on a resident wave-packed database
+    # (search/search_queued/top-K); search_many keeps its folded
+    # multi-query dispatches (the kernel's carry chain is single-query).
+    wave_compose: bool = False
+
     # --- parallelism -------------------------------------------------------
     # Device mesh axis sizes: (data,) database sharding across chips.
     mesh_shape: Tuple[int, ...] = (1,)
@@ -166,6 +181,11 @@ class SWConfig:
             # 32 divides every chunk size the engine can pick.
             raise ValueError(
                 f"wave_unroll_block must divide 32 (got {self.wave_unroll_block})"
+            )
+        if self.wave_compose and self.query_shard:
+            raise ValueError(
+                "wave_compose is incompatible with query_shard: both own the "
+                "kernel's band-carry chain (query_shard ships it over ICI)"
             )
         if self.prefilter is not None:
             if not (0.0 < self.prefilter <= 1.0):

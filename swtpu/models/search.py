@@ -161,6 +161,11 @@ class SearchEngine:
             if config.wave_chain is not None
             else (config.wave_unroll_block is None and not config.query_shard)
         )
+        if config.wave_compose and not self._wave_enabled:
+            raise ValueError(
+                "wave_compose requires the wavefront path: enable use_wave=True "
+                "(with interpret=True on CPU) and score_dtype='int32'"
+            )
         if config.gap_open is not None and not self._wave_enabled:
             raise ValueError(
                 "affine gaps (gap_open/gap_extend) run on the wavefront "
@@ -684,6 +689,19 @@ class SearchEngine:
             np.asarray(vals), np.asarray(pos), ids_flat, k, kk, total, db
         )
 
+    def _device_topk_hits_composed(self, q: Query, packed: PackedDatabase, k: int, db: Database):
+        """Composed-dispatch analogue of :meth:`_device_topk_hits`: the
+        band-group chain produces the flat score array on device; only the
+        top-kk candidate rows transfer."""
+        ids_flat = np.concatenate([g.ids for g in packed.wave_groups])
+        total = int(ids_flat.shape[0])
+        kk = min(total, max(4 * k + 64, k))
+        flat = self._composed_flat(q, packed)
+        vals, pos = self._composed_steps()[3](flat, k=kk)
+        return self._resolve_topk_hits(
+            np.asarray(vals), np.asarray(pos), ids_flat, k, kk, total, db
+        )
+
     @staticmethod
     def _resolve_topk_hits(vals, pos, ids_flat, k, kk, total, db):
         """Resolve a device top-kk candidate set into exact (id, score)
@@ -1165,7 +1183,8 @@ class SearchEngine:
             )
             profile_dev = self._device_put(profile)
             lhsB_dev = None
-            if packed.wave_groups:
+            compose = self._compose_active(packed)
+            if packed.wave_groups and not compose:
                 from ..ops import wave_sw
 
                 # Query-band sharding needs an equal whole-band split per
@@ -1194,7 +1213,11 @@ class SearchEngine:
             and not (cfg.query_shard and self._mesh is not None)
         ):
             t_device = time.perf_counter()
-            hits = self._device_topk_hits(packed, lhsB_dev, cfg.top_k, db)
+            hits = (
+                self._device_topk_hits_composed(query, packed, cfg.top_k, db)
+                if compose
+                else self._device_topk_hits(packed, lhsB_dev, cfg.top_k, db)
+            )
             if hits is not None:
                 device_seconds = time.perf_counter() - t_device
                 metrics = SearchMetrics(
@@ -1211,15 +1234,18 @@ class SearchEngine:
 
         t_device = time.perf_counter()
         try:
-            flat_fut, mark = self._packed_step()(
-                profile_dev,
-                lhsB_dev,
-                tuple(g.stack for g in packed.wave_groups),
-                tuple(g.stack for g in packed.groups),
-                tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
-                tuple(g.sat for g in packed.seg_groups),
-                wave_segs=tuple(g.n_segs for g in packed.wave_groups),
-            )
+            if compose:
+                flat_fut, mark, _ = self._composed_dispatch(query, packed)
+            else:
+                flat_fut, mark = self._packed_step()(
+                    profile_dev,
+                    lhsB_dev,
+                    tuple(g.stack for g in packed.wave_groups),
+                    tuple(g.stack for g in packed.groups),
+                    tuple((g.stack, g.rebases, g.ends) for g in packed.seg_groups),
+                    tuple(g.sat for g in packed.seg_groups),
+                    wave_segs=tuple(g.n_segs for g in packed.wave_groups),
+                )
             # Start the bulk copy before blocking on the checksum so the
             # two transfers overlap; the 4-byte checksum lands first and
             # timestamps compute completion (device_seconds = compute + one
@@ -1257,12 +1283,179 @@ class SearchEngine:
         )
         return SearchResult(scores=scores, metrics=metrics)
 
+    # Largest composed band-group rung: bounds both the compiled-shape
+    # family (powers of two up to this) and the per-call VMEM fit.  128
+    # bands = 4,096 query rows per call; the longest reference query
+    # (Q9UKN1, 5,478 aa = 172 bands) composes as 128+32+8+4.
+    COMPOSE_MAX_RUNG = 128
+
+    @staticmethod
+    def _compose_groups(n_bands: int) -> Tuple[int, ...]:
+        """Greedy binary decomposition of a band count into power-of-two
+        group sizes <= COMPOSE_MAX_RUNG (largest first, in band order)."""
+        if n_bands < 1:
+            raise ValueError("n_bands must be >= 1")
+        out = []
+        rem = n_bands
+        while rem:
+            out.append(min(SearchEngine.COMPOSE_MAX_RUNG, 1 << (rem.bit_length() - 1)))
+            rem -= out[-1]
+        return tuple(out)
+
+    def _compose_active(self, packed: Optional[PackedDatabase]) -> bool:
+        """Composed dispatch applies: enabled, single device, and the pack
+        is wave-only (the carry hand-off is a wavefront-kernel object)."""
+        return (
+            self.config.wave_compose
+            and self._mesh is None
+            and packed is not None
+            and bool(packed.wave_groups)
+            and not packed.groups
+            and not packed.seg_groups
+        )
+
+    def _composed_bucket_params(self, L2: int, Bp: int, n_segs: int):
+        """(Lc, Bt) for a wave bucket under composition — pinned across
+        rungs (the carry buffer layout (n_tiles, LT, Bt) must be identical
+        for every group of the chain), sized for the largest rung."""
+        from ..ops import wave_sw
+
+        cfg = self.config
+        Lc = wave_sw.pick_lc(L2 - wave_sw.W)
+        Bt = wave_sw.fit_bt(
+            L2,
+            Lc,
+            wave_sw.pick_bt_div(Bp),
+            n_qb=self.COMPOSE_MAX_RUNG,
+            n_segs=n_segs,
+            affine=cfg.gap_open is not None,
+        )
+        return Lc, Bt
+
+    def _composed_steps(self):
+        """Jitted (zeros_fn, rung_fn, finish_fn, topk_fn) for composed
+        band-group dispatch.
+
+        ``rung_fn`` scores ONE band group against every wave bucket,
+        continuing each bucket's DP from its carry and handing the new
+        carry out; its jit cache is keyed by the group's band count, so the
+        compiled-kernel family is the O(log) power-of-two rungs — any query
+        length then composes from already-compiled rungs with ZERO new
+        Mosaic compiles (vs one fused-step compile per query-pad length).
+        Carry and accumulator buffers are donated between groups.
+        """
+        if getattr(self, "_composed_step_fns", None) is not None:
+            return self._composed_step_fns
+        cfg = self.config
+        affine = cfg.gap_open is not None
+        from ..ops import wave_sw
+
+        def zeros_fn(stacks, wave_segs=()):
+            # Virgin DP state: H top boundary 0; affine F plane NEG ("no
+            # gap may start above band 0") — the same seeding the systolic
+            # query-band pipeline uses (parallel/query_shard.py).
+            carries = []
+            total = 0
+            for subjT, n_segs in zip(stacks, wave_segs or (1,) * len(stacks)):
+                L2, Bp = subjT.shape
+                _, Bt = self._composed_bucket_params(L2, Bp, n_segs)
+                n_tiles, LT = Bp // Bt, L2 + wave_sw.W
+                if affine:
+                    carries.append(
+                        jnp.concatenate(
+                            [
+                                jnp.zeros((n_tiles, 1, LT, Bt), jnp.int32),
+                                jnp.full((n_tiles, 1, LT, Bt), wave_sw.NEG, jnp.int32),
+                            ],
+                            axis=1,
+                        )
+                    )
+                else:
+                    carries.append(jnp.zeros((n_tiles, LT, Bt), jnp.int32))
+                total += Bp * n_segs
+            return jnp.zeros((total,), jnp.int32), tuple(carries)
+
+        def rung_fn(lhsB_g, stacks, carries, flat, wave_segs=()):
+            outs, nxt = [], []
+            for subjT, carry, n_segs in zip(
+                stacks, carries, wave_segs or (1,) * len(stacks)
+            ):
+                L2, Bp = subjT.shape
+                Lc, Bt = self._composed_bucket_params(L2, Bp, n_segs)
+                s, c = wave_sw.sw_wave(
+                    lhsB_g,
+                    subjT,
+                    carry,
+                    gap=cfg.gap_penalty,
+                    Lc=Lc,
+                    Bt=Bt,
+                    interpret=cfg.interpret,
+                    return_carry=True,
+                    unroll_block=cfg.wave_unroll_block,
+                    n_segs=n_segs,
+                    gap_open=cfg.gap_open,
+                    gap_extend=cfg.gap_extend,
+                )
+                outs.append(s)
+                nxt.append(c)
+            # Final score = max over all bands = running max across groups.
+            return jnp.maximum(flat, jnp.concatenate(outs)), tuple(nxt)
+
+        self._composed_step_fns = (
+            jax.jit(zeros_fn, static_argnames=("wave_segs",)),
+            jax.jit(
+                rung_fn, static_argnames=("wave_segs",), donate_argnums=(2, 3)
+            ),
+            jax.jit(lambda flat: (flat, jnp.sum(flat, dtype=jnp.int32))),
+            jax.jit(lambda flat, k: jax.lax.top_k(flat, k), static_argnames=("k",)),
+        )
+        return self._composed_step_fns
+
+    def _composed_flat(self, q: Query, packed: PackedDatabase):
+        """Run the composed band-group chain; returns the DEVICE flat score
+        array (layout identical to the fused step's wave part)."""
+        from ..ops import wave_sw
+
+        prof_w = xla_sw.make_profile(
+            # Exact 32-row padding — no serving ladder: composition bounds
+            # the compiled-shape family by construction.
+            q.residues,
+            self.matrix,
+            pad_rows_to=-(-max(q.length, 1) // wave_sw.W) * wave_sw.W,
+        )
+        lhsB = wave_sw.build_lhs_banded(prof_w)
+        stacks = tuple(g.stack for g in packed.wave_groups)
+        wave_segs = tuple(g.n_segs for g in packed.wave_groups)
+        zeros_fn, rung_fn, _, _ = self._composed_steps()
+        flat, carries = zeros_fn(stacks, wave_segs=wave_segs)
+        off = 0
+        for g in self._compose_groups(lhsB.shape[0]):
+            flat, carries = rung_fn(
+                jnp.asarray(lhsB[off : off + g]), stacks, carries, flat,
+                wave_segs=wave_segs,
+            )
+            off += g
+        return flat
+
+    def _composed_dispatch(self, q: Query, packed: PackedDatabase):
+        """Composed analogue of :meth:`_queued_dispatch`: same
+        (flat_future, checksum_future, host_profile) contract."""
+        cfg = self.config
+        profile = xla_sw.make_profile(
+            q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, cfg.query_strip)
+        )
+        flat = self._composed_flat(q, packed)
+        flat_fut, mark = self._composed_steps()[2](flat)
+        return flat_fut, mark, profile
+
     def _queued_dispatch(self, q: Query, packed: PackedDatabase, step):
         """Build one query's device inputs and enqueue its fused-step
         dispatch.  Returns (flat_future, checksum_future, host_profile)."""
         cfg = self.config
         from ..ops import wave_sw
 
+        if self._compose_active(packed):
+            return self._composed_dispatch(q, packed)
         profile = xla_sw.make_profile(
             q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, cfg.query_strip)
         )
@@ -1322,10 +1515,29 @@ class SearchEngine:
         t0 = time.perf_counter()
         step = self._packed_step()
         seen = {}
-        for q in queries:
-            key = self._query_pad(q.length, cfg.query_strip)
-            if key not in seen:
-                seen[key] = q
+        if self._compose_active(packed):
+            from ..ops import wave_sw
+
+            # Composed mode: the compiled family is the band-group rungs,
+            # not per-query-pad shapes — warm each rung once via a dummy
+            # query of exactly that band count (a power of two decomposes
+            # to itself).  17 reference lengths need <= 8 rungs total, and
+            # any FUTURE length reuses them with zero new Mosaic compiles.
+            rng = np.random.default_rng(0)
+            for q in queries:
+                n_bands = -(-max(q.length, 1) // wave_sw.W)
+                for g in self._compose_groups(n_bands):
+                    if g not in seen:
+                        seen[g] = Query(
+                            name=f"_warm{g}",
+                            residues=rng.integers(0, 25, g * wave_sw.W).astype(np.int8),
+                            raw="",
+                        )
+        else:
+            for q in queries:
+                key = self._query_pad(q.length, cfg.query_strip)
+                if key not in seen:
+                    seen[key] = q
 
         def fire(q: Query) -> None:
             flat_fut, mark, _ = self._queued_dispatch(q, packed, step)
@@ -1333,6 +1545,20 @@ class SearchEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        if self._compose_active(packed):
+            # Each in-flight composed chain holds a full carry set
+            # (4 B/padded lane-column; x2 planes affine — ~0.9 GB at
+            # SwissProt scale, ~0.1 GB at the 60k bench DB), so bound
+            # concurrent chains to ~3 GB of carries; rung compiles still
+            # overlap up to this.
+            from ..ops import wave_sw
+
+            planes = 2 if cfg.gap_open is not None else 1
+            chain_bytes = sum(
+                4 * planes * g.stack.shape[1] * (g.stack.shape[0] + wave_sw.W)
+                for g in packed.wave_groups
+            )
+            threads = max(1, min(threads, int(3e9 // max(chain_bytes, 1))))
         with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
             # list() propagates the first worker exception (e.g. OOM)
             list(ex.map(fire, seen.values()))
