@@ -187,6 +187,9 @@ class SearchEngine:
         self._resident_cells = resident_cell_budget(config.device_resident_cells) * max(
             1, config.n_devices
         )
+        # Tiered serving: fused query-pad shapes compiled in the background
+        # (warmup_background) hot-swap over the composed path per query.
+        self._fused_warm: set = set()
 
     def _query_pad(self, qlen: int, quantum: int, serving: bool = False) -> int:
         """Row padding target for a query: exact quantum, or the serving
@@ -1183,7 +1186,7 @@ class SearchEngine:
             )
             profile_dev = self._device_put(profile)
             lhsB_dev = None
-            compose = self._compose_active(packed)
+            compose = self._compose_for(query, packed)
             if packed.wave_groups and not compose:
                 from ..ops import wave_sw
 
@@ -1312,6 +1315,24 @@ class SearchEngine:
             and bool(packed.wave_groups)
             and not packed.groups
             and not packed.seg_groups
+        )
+
+    def _fused_key(self, q: Query) -> Tuple[int, int]:
+        """jit-cache-equivalent key of a query's FUSED dispatch shapes
+        (lhsB band pad, profile strip pad) — what warmup_background marks
+        warm and the tiered dispatch checks before composing."""
+        from ..ops import wave_sw
+
+        return (
+            self._query_pad(q.length, wave_sw.W),
+            self._query_pad(q.length, self.config.query_strip),
+        )
+
+    def _compose_for(self, q: Query, packed: Optional[PackedDatabase]) -> bool:
+        """Tiered routing: compose unless this query's fused shape has
+        been background-compiled (warmup_background hot-swap)."""
+        return self._compose_active(packed) and self._fused_key(q) not in getattr(
+            self, "_fused_warm", ()
         )
 
     def _composed_bucket_params(self, L2: int, Bp: int, n_segs: int):
@@ -1454,7 +1475,7 @@ class SearchEngine:
         cfg = self.config
         from ..ops import wave_sw
 
-        if self._compose_active(packed):
+        if self._compose_for(q, packed):
             return self._composed_dispatch(q, packed)
         profile = xla_sw.make_profile(
             q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, cfg.query_strip)
@@ -1563,6 +1584,83 @@ class SearchEngine:
             # list() propagates the first worker exception (e.g. OOM)
             list(ex.map(fire, seen.values()))
         return time.perf_counter() - t0
+
+    def warmup_background(
+        self,
+        queries: List[Query],
+        db: Database,
+        plan: Optional[BatchPlan] = None,
+        threads: int = 8,
+    ):
+        """Tiered serving, phase 2: compile the FUSED per-query-length
+        shapes in a daemon thread while the composed path serves, and
+        hot-swap each shape into the dispatch route the moment it is
+        ready (``_fused_warm``).
+
+        With ``wave_compose`` a fresh fleet serves its first queries in
+        ~85 s cold (BENCHMARKS "Cold start") at ~95-99% of the fused
+        throughput; this recovers the last few percent without ever
+        blocking a query on a compile.  Returns the ``threading.Thread``
+        (daemon — ``join()`` it in tests; a failure is stashed on
+        ``self._warmup_bg_error`` and logged, never raised into serving).
+        No-op thread when composition is inactive for this database.
+        """
+        import threading
+
+        packed = self._resident_packed(db, plan)
+        if not self._compose_active(packed) or not queries:
+            t = threading.Thread(target=lambda: None, daemon=True)
+            t.start()
+            return t
+        step = self._packed_step()
+        seen = {}
+        for q in queries:
+            seen.setdefault(self._fused_key(q), q)
+
+        # _queued_dispatch would COMPOSE for a not-yet-warm key, so the
+        # warmer builds the fused dispatch directly (the wave-only pack
+        # has no ladder/segment groups by _compose_active's guard).
+        def fire_fused(item):
+            key, q = item
+            from ..ops import wave_sw
+
+            profile = xla_sw.make_profile(
+                q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, self.config.query_strip)
+            )
+            prof_w = xla_sw.make_profile(
+                q.residues, self.matrix, pad_rows_to=self._query_pad(q.length, wave_sw.W)
+            )
+            lhsB_dev = jnp.asarray(wave_sw.build_lhs_banded(prof_w))
+            _, mark = step(
+                jnp.asarray(profile),
+                lhsB_dev,
+                tuple(g.stack for g in packed.wave_groups),
+                (),
+                (),
+                (),
+                wave_segs=tuple(g.n_segs for g in packed.wave_groups),
+            )
+            np.asarray(mark)
+            self._fused_warm.add(key)
+
+        def worker():
+            from concurrent.futures import ThreadPoolExecutor
+
+            try:
+                with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
+                    list(ex.map(fire_fused, seen.items()))
+            except Exception as e:  # never crash serving from the warmer
+                self._warmup_bg_error = e
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "background fused warmup failed (serving stays on the "
+                    "composed path): %s", e
+                )
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        return t
 
     def search_queued(
         self,

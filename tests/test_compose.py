@@ -141,6 +141,29 @@ def test_composed_novel_length_reuses_rungs():
     np.testing.assert_array_equal(eng.search(novel, db).scores, fused.scores)
 
 
+def test_tiered_background_warmup_hot_swap():
+    """warmup_background compiles the fused shape off-thread and the
+    dispatch route hot-swaps to it; scores identical before and after."""
+    rng = np.random.default_rng(23)
+    db = _rand_db(rng, 40, hi=200)
+    q = _rand_query(rng, 75)
+    eng = SearchEngine(SWConfig(use_wave=True, interpret=True, wave_compose=True))
+    packed = eng._resident_packed(db)
+    assert eng._compose_for(q, packed)  # cold: composed route
+    before = eng.search(q, db)
+    t = eng.warmup_background([q], db)
+    t.join(timeout=600)
+    assert not t.is_alive()
+    assert getattr(eng, "_warmup_bg_error", None) is None
+    assert not eng._compose_for(q, packed)  # hot-swapped: fused route
+    after = eng.search(q, db)
+    np.testing.assert_array_equal(before.scores, after.scores)
+    # A different length is still served (composed) with no stall.
+    q2 = _rand_query(rng, 170, name="other")
+    fused = SearchEngine(SWConfig(use_wave=True, interpret=True)).search(q2, db)
+    np.testing.assert_array_equal(eng.search(q2, db).scores, fused.scores)
+
+
 def test_compose_config_validation():
     with pytest.raises(ValueError, match="query_shard"):
         SWConfig(wave_compose=True, query_shard=True)

@@ -8,6 +8,8 @@ same trust chain against real Mosaic-compiled kernels on the attached TPU:
   3. saturation case — 29k-magnitude scores (exact int32 at scale)
   4. kernel fuzz     — random (B, L, Q, gap, matrix) wave vs XLA exact
   5. path cross      — streaming fast16 engine == resident wavefront engine
+  (+ affine, band-carry split, query-shard, blocked unroll, prefilter,
+   batched serving, composed band-group dispatch — 17 checks total)
 
 Usage: python tools/tpu_validate.py   (exits nonzero on any mismatch)
 """
@@ -189,6 +191,20 @@ def main() -> int:
         SWConfig(prefilter=0.05, top_k=5, prefilter_min_candidates=64)
     ).search(q, db_hom)
     check("prefilter (5% of 10k) recalls planted homologs", pre.hits == exact5)
+
+    # 10. composed band-group dispatch (wave_compose): the power-of-two
+    # rung chain over the HBM carry hand-off must reproduce the scale
+    # golden bit-exactly (P02232 = 5 bands -> groups 4+1, multi-bucket
+    # plan), and compose with affine gaps through the full engine.
+    res_cmp = SearchEngine(SWConfig(wave_compose=True)).search(q, db10k)
+    check("composed dispatch (rung chain) == scale golden", bool((res_cmp.scores == golden10k).all()))
+    res_cmp_af = SearchEngine(
+        SWConfig(wave_compose=True, gap_open=11, gap_extend=1)
+    ).search(q, db)
+    check(
+        "composed dispatch, affine == fused affine (subset db)",
+        bool((res_cmp_af.scores == res_eng_af.scores).all()),
+    )
 
     print("tpu_validate:", "ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
