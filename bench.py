@@ -69,6 +69,11 @@ def main():
     ap.add_argument("--unroll-block", type=int, default=None,
                     help="wavefront DP block-unroll U (fast-cold mode: ~Lc/U x "
                          "faster Mosaic compiles, disables subject chaining)")
+    ap.add_argument("--gap-open", type=int, default=None,
+                    help="affine (Gotoh) gap-open penalty; with --gap-extend "
+                         "switches the sweep to affine scoring")
+    ap.add_argument("--gap-extend", type=int, default=None,
+                    help="affine gap-extension penalty")
     ap.add_argument("--compose", action="store_true",
                     help="composed band-group dispatch (wave_compose): "
                          "O(log) compiled rungs, zero-compile novel lengths "
@@ -96,6 +101,8 @@ def main():
         use_pallas=args.pallas,
         wave_unroll_block=args.unroll_block,
         wave_compose=args.compose,
+        gap_open=args.gap_open,
+        gap_extend=args.gap_extend,
     ))
     plan = engine.plan(db)
 
