@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="K",
         help="reconstruct and print gapped alignments for the K best hits (two-phase traceback)",
     )
+    p.add_argument(
+        "--evalue",
+        action="store_true",
+        help="with --top-k: report E-values and bit scores per hit, from an "
+        "empirical Gumbel fit of this query's score distribution (swtpu.stats; "
+        "computes the full score array, so device-top-K mode is bypassed)",
+    )
     p.add_argument("--no-scores", action="store_true", help="skip the per-sequence score dump")
     p.add_argument("--json", action="store_true", help="emit metrics as one JSON line")
     p.add_argument("--pallas", action="store_true", help="use the legacy row-parallel Pallas kernel")
@@ -115,6 +122,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from .io.fasta import parse_database, parse_query
     from .models.search import SearchEngine
 
+    if args.evalue and args.top_k is None:
+        print("swtpu: error: --evalue requires --top-k", file=sys.stderr)
+        return 2
     try:
         config = SWConfig(
             gap_penalty=args.gap,
@@ -126,7 +136,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             length_quantum=args.length_quantum,
             use_pallas=args.pallas and not args.no_pallas,
             use_wave=args.wave,
-            top_k=args.top_k,
+            # --evalue fits the null to the full score distribution, so the
+            # engine must materialise it (no device-top-K short circuit).
+            top_k=None if args.evalue else args.top_k,
             mesh_shape=(args.mesh,),
             query_shard=args.query_shard,
             wave_unroll_block=args.unroll_block,
@@ -180,8 +192,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             print(aln.pretty())
             print()
     if args.top_k is not None:
-        for sid, score in result.top_k(args.top_k):
-            print(f"{sid}:{score}")
+        if args.evalue:
+            for h in result.top_k_stats(args.top_k):
+                print(f"{h.id}:{h.score}\tE={h.evalue:.3g}\tbits={h.bits:.1f}")
+        else:
+            for sid, score in result.top_k(args.top_k):
+                print(f"{sid}:{score}")
     elif not args.no_scores and args.align_top_k is None:
         out = sys.stdout
         out.write("\n".join(f"{i}:{s}" for i, s in enumerate(result.scores.tolist())))

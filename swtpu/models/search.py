@@ -81,6 +81,31 @@ class SearchResult:
         order = np.lexsort((cand, -self.scores[cand]))[:k]
         return [(int(cand[i]), int(self.scores[cand[i]])) for i in order]
 
+    def top_k_stats(self, k: int, trim: float = 0.02):
+        """Top-k hits with empirical significance (E-value, bit score).
+
+        The Gumbel null is fitted to THIS query's full score distribution
+        (swtpu.stats — trimmed moments, homolog tail excluded), so the
+        full score array is required: unavailable in device-top-K /
+        prefilter modes, whose whole point is never materialising the
+        distribution.  Returns ``List[swtpu.stats.HitStat]``.
+        """
+        if self.scores is None:
+            raise ValueError(
+                "top_k_stats needs the full score array to fit the null "
+                "distribution; run without engine-level top_k/prefilter"
+            )
+        from ..stats import hit_stats
+
+        m = self.metrics
+        return hit_stats(
+            self.scores,
+            self.top_k(k),
+            query_length=m.query_length,
+            mean_subject_length=m.residue_sum / max(m.n_subjects, 1),
+            trim=trim,
+        )
+
 
 @functools.partial(
     jax.jit,
