@@ -164,6 +164,22 @@ def test_tiered_background_warmup_hot_swap():
     np.testing.assert_array_equal(eng.search(q2, db).scores, fused.scores)
 
 
+def test_composed_with_prefilter():
+    """Compose + the heuristic two-phase mode: identical hits (the exact
+    phase's pinned-bucket dispatches are their own path; the combination
+    must not reroute or corrupt either)."""
+    rng = np.random.default_rng(29)
+    db = _rand_db(rng, 300, lo=30, hi=120)
+    q = _rand_query(rng, 75)
+    base = SWConfig(
+        use_wave=True, interpret=True, prefilter=0.2, top_k=5,
+        prefilter_min_candidates=32,
+    )
+    a = SearchEngine(base).search(q, db).hits
+    b = SearchEngine(base.replace(wave_compose=True)).search(q, db).hits
+    assert a == b
+
+
 def test_compose_config_validation():
     with pytest.raises(ValueError, match="query_shard"):
         SWConfig(wave_compose=True, query_shard=True)
