@@ -48,8 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--evalue",
         action="store_true",
         help="with --top-k: report E-values and bit scores per hit, from an "
-        "empirical Gumbel fit of this query's score distribution (swtpu.stats; "
-        "computes the full score array, so device-top-K mode is bypassed)",
+        "empirical length-corrected Gumbel fit of this query's score "
+        "distribution (swtpu.stats).  Works in every serving mode: "
+        "device-top-K paths fit from an on-device moment reduction, "
+        "prefilter mode from an exactly-scored random calibration sample",
     )
     p.add_argument("--no-scores", action="store_true", help="skip the per-sequence score dump")
     p.add_argument("--json", action="store_true", help="emit metrics as one JSON line")
@@ -136,9 +138,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             length_quantum=args.length_quantum,
             use_pallas=args.pallas and not args.no_pallas,
             use_wave=args.wave,
-            # --evalue fits the null to the full score distribution, so the
-            # engine must materialise it (no device-top-K short circuit).
-            top_k=None if args.evalue else args.top_k,
+            top_k=args.top_k,
+            evalue=args.evalue,
             mesh_shape=(args.mesh,),
             query_shard=args.query_shard,
             wave_unroll_block=args.unroll_block,

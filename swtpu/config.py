@@ -85,6 +85,14 @@ class SWConfig:
 
     # --- results -----------------------------------------------------------
     top_k: Optional[int] = None  # None = full score array (reference parity)
+    # Collect null-distribution statistics for empirical significance
+    # (E-values / bit scores, swtpu.stats) in EVERY serving mode:
+    # full-array paths reduce host-side; device-top-K paths add a
+    # 3-scalar + per-length-bin device reduction next to the top-K (the
+    # full score array still never transfers); prefilter mode scores a
+    # fixed random calibration sample exactly alongside the candidates.
+    # SearchResult.top_k_stats then works everywhere.
+    evalue: bool = False
 
     # --- heuristic prefilter (beyond-reference, optional) -------------------
     # Two-phase search: a k-mer-signature MXU coarse pass ranks the whole
@@ -137,9 +145,13 @@ class SWConfig:
     # from already-compiled rungs).  Steady-state cost is a few extra
     # dispatches per query plus one carry re-read per group boundary
     # (~4 B/lane-column — measured in BENCHMARKS "Cold-start").  Applies
-    # to single-query dispatches on a resident wave-packed database
-    # (search/search_queued/top-K); search_many keeps its folded
-    # multi-query dispatches (the kernel's carry chain is single-query).
+    # to every dispatch on a resident wave-packed database:
+    # search/search_queued/top-K compose per query; search_many serves a
+    # piece through the composed per-query chains while its fused 4-D
+    # shape is cold and hot-swaps to the folded multi-query dispatch once
+    # warmup_many_background has compiled it.  Works under a lane-sharded
+    # mesh too (rungs run under shard_map; carries stay shard-local);
+    # query_shard remains incompatible (it owns the carry chain over ICI).
     wave_compose: bool = False
 
     # --- parallelism -------------------------------------------------------

@@ -107,6 +107,69 @@ class DistributedSearchEngine:
         lo, _ = shard_range(db.n, self.process_id, self.process_count)
         return db.shard(self.process_id, self.process_count), lo
 
+    def _search_local(self, method: str, queries, local_db: Database, top_k: int):
+        """Run the local engine with the per-shard OOM retry (SURVEY §5
+        failure handling): one OOM-classified local failure (e.g. a device
+        OOM after an HBM fragmentation spike) retries once with streaming
+        (non-resident) dispatch before taking the whole collective down.
+        Deterministic errors (bad config, a bug) propagate immediately — a
+        blind retry would silently re-run the shard and discard the real
+        cause."""
+        from ..utils.memory import is_oom
+
+        try:
+            return getattr(self._engine(top_k), method)(queries, local_db)
+        except Exception as exc:
+            if not is_oom(exc):
+                raise
+            from ..models.search import SearchEngine
+
+            fallback = SearchEngine(
+                self.config.replace(
+                    device_resident=False, top_k=None if self.full_scores else top_k
+                )
+            )
+            try:
+                return getattr(fallback, method)(queries, local_db)
+            except Exception as exc2:  # chain: both failures are evidence
+                raise exc2 from exc
+
+    def _merge_hits(
+        self, results, local_db: Database, shard_base: int, top_k: int
+    ) -> List[DistributedResult]:
+        """Cross-host merge of per-query local results: build the
+        (Q, K, 2) candidate tensor, ONE process_allgather over DCN,
+        host-side (score desc, id asc) reduction per query."""
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        nq = len(results)
+        # Local candidates (pad to a fixed (Q, K) so every host gathers the
+        # same shape; empty shards contribute score -1 which never wins).
+        cand = np.full((nq, top_k, 2), -1, dtype=np.int64)
+        k = min(top_k, max(local_db.n, 1))
+        for qi, r in enumerate(results):
+            for rank, (sid, score) in enumerate(r.top_k(k)):
+                cand[qi, rank] = (score, shard_base + sid)
+
+        if self.process_count > 1:
+            gathered = multihost_utils.process_allgather(jnp.asarray(cand))
+            allc = np.moveaxis(
+                np.asarray(gathered).reshape(self.process_count, nq, top_k, 2), 0, 1
+            ).reshape(nq, -1, 2)
+        else:
+            allc = cand
+        out = []
+        for qi, r in enumerate(results):
+            c = allc[qi]
+            c = c[c[:, 0] >= 0]
+            order = np.lexsort((c[:, 1], -c[:, 0]))[:top_k]
+            hits = [(int(c[i, 1]), int(c[i, 0])) for i in order]
+            out.append(
+                DistributedResult(hits=hits, local_scores=r.scores, shard_base=shard_base)
+            )
+        return out
+
     def search(
         self,
         query: Query,
@@ -122,49 +185,31 @@ class DistributedSearchEngine:
           shard_base: global id of local_db's sequence 0.
           top_k: number of global hits to return.
         """
-        import jax
-        import jax.numpy as jnp
-        from jax.experimental import multihost_utils
+        result = self._search_local("search", query, local_db, top_k)
+        return self._merge_hits([result], local_db, shard_base, top_k)[0]
 
-        # Per-shard retry (SURVEY §5 failure handling): one OOM-classified
-        # local failure (e.g. a device OOM after an HBM fragmentation spike)
-        # retries once with streaming (non-resident) dispatch before taking
-        # the whole collective down.  Deterministic errors (bad config, a
-        # bug) propagate immediately — a blind retry would silently re-run
-        # the shard and discard the real cause.
-        from ..utils.memory import is_oom
+    def search_many(
+        self,
+        queries: List[Query],
+        local_db: Database,
+        shard_base: int,
+        top_k: int = 10,
+    ) -> List[DistributedResult]:
+        """Collective BATCHED search: ONE cross-host collective for the
+        whole query batch (round-4 VERDICT item 5 — the one-query-per-
+        collective engine made multi-host serving throughput ~1/batch of
+        the single-host engine's).
 
-        try:
-            result = self._engine(top_k).search(query, local_db)
-        except Exception as exc:
-            if not is_oom(exc):
-                raise
-            from ..models.search import SearchEngine
-
-            fallback = SearchEngine(
-                self.config.replace(
-                    device_resident=False, top_k=None if self.full_scores else top_k
-                )
-            )
-            try:
-                result = fallback.search(query, local_db)
-            except Exception as exc2:  # chain: both failures are evidence
-                raise exc2 from exc
-        local_scores = result.scores  # None in top-K-first mode
-        k = min(top_k, max(local_db.n, 1))
-
-        # Local candidates (pad to a fixed K so every host gathers the same
-        # shape; empty shards contribute score -1 which never wins).
-        cand = np.full((top_k, 2), -1, dtype=np.int64)
-        for rank, (sid, score) in enumerate(result.top_k(k)):
-            cand[rank] = (score, shard_base + sid)
-
-        if self.process_count > 1:
-            gathered = multihost_utils.process_allgather(jnp.asarray(cand))
-            allc = np.asarray(gathered).reshape(-1, 2)
-        else:
-            allc = cand
-        allc = allc[allc[:, 0] >= 0]
-        order = np.lexsort((allc[:, 1], -allc[:, 0]))[:top_k]
-        hits = [(int(allc[i, 1]), int(allc[i, 0])) for i in order]
-        return DistributedResult(hits=hits, local_scores=local_scores, shard_base=shard_base)
+        Each host scores the entire batch against its own shard with the
+        single-host batched engine (``SearchEngine.search_many`` — shared
+        dispatches, device top-K, and the heuristic prefilter all apply:
+        with ``config.prefilter`` each host coarse-ranks ITS shard locally
+        and rescores only its candidates, so the coarse pass never crosses
+        DCN either), builds a (Q, K, 2) candidate tensor, and merges via a
+        single ``process_allgather``.  Every process must call this
+        collectively with the same queries and top_k.
+        """
+        if not queries:
+            return []
+        results = self._search_local("search_many", queries, local_db, top_k)
+        return self._merge_hits(results, local_db, shard_base, top_k)

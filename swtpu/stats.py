@@ -370,9 +370,16 @@ def null_stats_from_scores(
     lengths: Optional[np.ndarray] = None,
     nbins: int = 12,
     trim: float = DEFAULT_TRIM,
+    population_lengths: Optional[np.ndarray] = None,
 ) -> NullStats:
-    """Host-side sufficient statistics of a full score array (with
-    per-length-bin reductions when ``lengths`` is given)."""
+    """Host-side sufficient statistics of a score array (with
+    per-length-bin reductions when ``lengths`` is given).
+
+    For SAMPLED nulls (``scores``/``lengths`` cover a random subset of
+    the database, prefilter calibration mode) pass the FULL database's
+    lengths as ``population_lengths``: bin edges and per-bin subject
+    counts then describe the whole database while the per-bin score
+    moments come from the sample — E-values extrapolate correctly."""
     s = np.asarray(scores, np.float64).reshape(-1)
     nz = s > 0
     body = s[nz]
@@ -389,7 +396,8 @@ def null_stats_from_scores(
     kw = {}
     if lengths is not None:
         lengths = np.asarray(lengths)
-        edges = length_bin_edges(lengths, nbins)
+        pop = lengths if population_lengths is None else np.asarray(population_lengths)
+        edges = length_bin_edges(pop, nbins)
         nb = len(edges)
         ids = length_bin_ids(lengths, edges)
         ids_nz = ids[nz]
@@ -397,7 +405,7 @@ def null_stats_from_scores(
         bin_counts = np.bincount(ids_nz[okb], minlength=nb)[:nb]
         bin_sums = np.bincount(ids_nz[okb], weights=body[okb], minlength=nb)[:nb]
         bin_sumsqs = np.bincount(ids_nz[okb], weights=body[okb] ** 2, minlength=nb)[:nb]
-        log_len, n_subj_b = bin_log_lengths(lengths, edges)
+        log_len, n_subj_b = bin_log_lengths(pop, edges)
         kw = dict(
             top_bins=ids_nz[top_idx],
             bin_counts=bin_counts,
