@@ -206,6 +206,32 @@ def main() -> int:
         bool((res_cmp_af.scores == res_eng_af.scores).all()),
     )
 
+    # 11. queued protocol x device top-K (round-5): each queued dispatch
+    # chain ends in the on-device top-K reduction; hits must equal the
+    # full-array engine's top-5 for every query in the batch.
+    eng_qtk = SearchEngine(SWConfig(top_k=5))
+    qs_batch = [q, Query(name="m", residues=q.residues[:96].copy(), raw="")]
+    res_qtk = eng_qtk.search_queued(qs_batch, db10k)
+    full_eng = SearchEngine(SWConfig())
+    ok_qtk = all(
+        r.top_k(5) == full_eng.search(qq, db10k).top_k(5)
+        for qq, r in zip(qs_batch, res_qtk)
+    )
+    check("queued x device top-K == full-array top-5 (10k db)", ok_qtk)
+
+    # 12. E-values from the device moment reduction: the device-top-K fit
+    # must match the host full-array fit (f32 device sumsq is the only
+    # divergence — demand 1% agreement on E and bits).
+    res_ev_dev = SearchEngine(SWConfig(top_k=5, evalue=True)).search(q, db10k)
+    res_ev_full = SearchEngine(SWConfig(evalue=True)).search(q, db10k)
+    sd, sf_ = res_ev_dev.top_k_stats(5), res_ev_full.top_k_stats(5)
+    ok_ev = [h.id for h in sd] == [h.id for h in sf_] and all(
+        abs(a.evalue - b.evalue) <= 0.01 * max(abs(b.evalue), 1e-300)
+        and abs(a.bits - b.bits) <= 0.01 * abs(b.bits)
+        for a, b in zip(sd, sf_)
+    )
+    check("device-moment E-values == full-array fit (1%)", ok_ev)
+
     print("tpu_validate:", "ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
