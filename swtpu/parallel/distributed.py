@@ -48,6 +48,25 @@ class DistributedResult:
     # full_scores=True to the engine to keep it).
     local_scores: Optional[np.ndarray]
     shard_base: int  # global id of this host's first sequence
+    # GLOBAL null statistics (swtpu.stats.NullStats) when the engine ran
+    # with config.evalue: per-shard sufficient statistics merged through
+    # the same collective as the hits (moments sum; top values union) —
+    # E-values against the WHOLE database, computed identically on every
+    # host.  Length-bin statistics are dropped (bin edges are shard-local
+    # quantiles, not comparable across hosts), so the significance uses
+    # the pooled global fit.
+    null_stats: Optional[object] = None
+
+    def hit_stats(self, trim: float = 0.02):
+        """Significance (E-value, bit score) of the merged global hits."""
+        if self.null_stats is None:
+            raise ValueError(
+                "hit_stats needs merged null statistics: run the engine "
+                "with SWConfig.evalue=True"
+            )
+        from ..stats import hit_significance
+
+        return hit_significance(self.null_stats, self.hits, trim=trim)
 
 
 def initialize(
@@ -152,21 +171,73 @@ class DistributedSearchEngine:
             for rank, (sid, score) in enumerate(r.top_k(k)):
                 cand[qi, rank] = (score, shard_base + sid)
 
+        # Null statistics ride the SAME collective (a pytree leaf, not a
+        # second allgather): per-shard sufficient statistics — (count,
+        # sum, sumsq, n_subjects, summed subject length) scalars plus the
+        # shard's top score values — merge into one global fit host-side.
+        have_null = self.config.evalue and all(
+            getattr(r, "null_stats", None) is not None for r in results
+        )
+        payload = {"cand": jnp.asarray(cand)}
+        if have_null:
+            TOPN = 2048  # fixed so every host gathers the same shape
+            tops = np.zeros((nq, TOPN), dtype=np.float32)
+            scal = np.zeros((nq, 5), dtype=np.float32)
+            for qi, r in enumerate(results):
+                ns = r.null_stats
+                tv = np.asarray(ns.top_vals, np.float64)[:TOPN]
+                tops[qi, : tv.size] = tv
+                scal[qi] = (
+                    ns.count,
+                    ns.total,
+                    ns.total_sq,
+                    ns.n_subjects,
+                    ns.n_subjects * ns.mean_subject_length,
+                )
+            payload["tops"] = jnp.asarray(tops)
+            payload["scal"] = jnp.asarray(scal)
+
         if self.process_count > 1:
-            gathered = multihost_utils.process_allgather(jnp.asarray(cand))
+            gathered = multihost_utils.process_allgather(payload)
             allc = np.moveaxis(
-                np.asarray(gathered).reshape(self.process_count, nq, top_k, 2), 0, 1
+                np.asarray(gathered["cand"]).reshape(self.process_count, nq, top_k, 2), 0, 1
             ).reshape(nq, -1, 2)
+            tops_all = np.asarray(gathered.get("tops")) if have_null else None
+            scal_all = np.asarray(gathered.get("scal")) if have_null else None
         else:
             allc = cand
+            tops_all = tops[None] if have_null else None
+            scal_all = scal[None] if have_null else None
         out = []
         for qi, r in enumerate(results):
             c = allc[qi]
             c = c[c[:, 0] >= 0]
             order = np.lexsort((c[:, 1], -c[:, 0]))[:top_k]
             hits = [(int(c[i, 1]), int(c[i, 0])) for i in order]
+            null = None
+            if have_null:
+                from ..stats import NullStats
+
+                s = scal_all[:, qi].astype(np.float64)  # (P, 5)
+                tv = tops_all[:, qi].astype(np.float64).ravel()
+                tv = -np.sort(-tv[tv > 0])
+                n_subj = int(round(s[:, 3].sum()))
+                null = NullStats(
+                    count=int(round(s[:, 0].sum())),
+                    total=float(s[:, 1].sum()),
+                    total_sq=float(s[:, 2].sum()),
+                    top_vals=tv,
+                    n_subjects=n_subj,
+                    query_length=r.null_stats.query_length,
+                    mean_subject_length=float(s[:, 4].sum()) / max(n_subj, 1),
+                )
             out.append(
-                DistributedResult(hits=hits, local_scores=r.scores, shard_base=shard_base)
+                DistributedResult(
+                    hits=hits,
+                    local_scores=r.scores,
+                    shard_base=shard_base,
+                    null_stats=null,
+                )
             )
         return out
 

@@ -255,24 +255,29 @@ WORKER_MANY = textwrap.dedent(
     db = parse_database(os.environ["SWTPU_DB"])
     queries = [parse_query(p) for p in os.environ["SWTPU_QUERIES"].split(",")]
     prefilter = os.environ.get("SWTPU_PREFILTER") == "1"
+    evalue = os.environ.get("SWTPU_EVALUE") == "1"
     cfg = SWConfig(batch_rows=8, length_quantum=8, use_wave=True, interpret=True,
                    prefilter=0.5 if prefilter else None,
-                   top_k=5 if prefilter else None)
+                   top_k=5 if prefilter else None, evalue=evalue)
     eng = D.DistributedSearchEngine(cfg)
     shard, base = eng.shard_of(db)
     res = eng.search_many(queries, shard, base, top_k=5)
+    evs = None
+    if evalue:
+        evs = [[h.evalue for h in r.hit_stats()] for r in res]
     print("RESULT " + json.dumps({
         "pid": pid,
         "hits": [r.hits for r in res],
         "collectives": calls["n"],
         "scores_none": all(r.local_scores is None for r in res),
+        "evalues": evs,
     }))
     """
 )
 
 
-@pytest.mark.parametrize("prefilter", [False, True])
-def test_multi_process_batched_search_many(tmp_path, prefilter):
+@pytest.mark.parametrize("prefilter,evalue", [(False, False), (True, False), (False, True)])
+def test_multi_process_batched_search_many(tmp_path, prefilter, evalue):
     """VERDICT r4 item 5: DistributedSearchEngine.search_many — each host
     scores the WHOLE query batch against its shard (with the heuristic
     prefilter coarse-ranking per shard when configured), then merges with
@@ -302,6 +307,7 @@ def test_multi_process_batched_search_many(tmp_path, prefilter):
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
         **({"SWTPU_PREFILTER": "1"} if prefilter else {}),
+        **({"SWTPU_EVALUE": "1"} if evalue else {}),
     }
     nproc = 2
     procs = [
@@ -327,7 +333,20 @@ def test_multi_process_batched_search_many(tmp_path, prefilter):
 
     # matches the single-host engine per query
     db = parse_database(db_path)
-    eng = SearchEngine(SWConfig(batch_rows=8, length_quantum=8, use_wave=True, interpret=True))
+    eng = SearchEngine(SWConfig(batch_rows=8, length_quantum=8, use_wave=True, interpret=True,
+                                evalue=evalue))
     for j, qp in enumerate(q_paths):
-        want = [[int(i), int(s)] for i, s in eng.search(parse_query(qp), db).top_k(5)]
+        single = eng.search(parse_query(qp), db)
+        want = [[int(i), int(s)] for i, s in single.top_k(5)]
         assert results[0]["hits"][j] == want
+        if evalue:
+            # merged per-shard null statistics vs the single-host GLOBAL
+            # fit: the distributed law drops length bins (shard-local
+            # edges), so compare against the pooled global fit.
+            from swtpu.stats import hit_significance
+            ref = hit_significance(single.null_stats, single.top_k(5),
+                                   length_correct=False)
+            got = results[0]["evalues"][j]
+            assert results[1]["evalues"][j] == got  # identical on every host
+            for g, r in zip(got, ref):
+                assert g == pytest.approx(r.evalue, rel=0.02)
