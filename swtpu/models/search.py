@@ -100,7 +100,22 @@ class SearchResult:
 
         hits = self.top_k(k)
         if self.null_stats is not None:
-            return hit_significance(self.null_stats, hits, trim=trim)
+            ns = self.null_stats
+            needed = int(np.ceil(trim * ns.count)) if trim > 0 else 0
+            if needed > np.asarray(ns.top_vals).size:
+                # Engine-collected statistics cover the default trim; a
+                # larger trim cannot be honoured from them — fail loudly
+                # rather than silently fitting at a smaller effective trim
+                # (different E-values than a full-array run would report).
+                # Callers holding the full array can fit any trim directly
+                # via swtpu.stats.null_stats_from_scores.
+                raise ValueError(
+                    f"trim={trim} needs the top {needed} scores but the "
+                    f"engine collected {np.asarray(ns.top_vals).size}; "
+                    "use the engine-default trim, or fit from the full "
+                    "score array (swtpu.stats.null_stats_from_scores)"
+                )
+            return hit_significance(ns, hits, trim=trim)
         if self.scores is None:
             raise ValueError(
                 "top_k_stats needs the full score array (or engine-collected "
@@ -1885,6 +1900,32 @@ class SearchEngine:
             list(ex.map(fire, seen.values()))
         return time.perf_counter() - t0
 
+    def _spawn_warmer(self, fire, items, error_attr: str, threads: int):
+        """Daemon thread running ``fire`` over ``items`` via a pool; a
+        failure is stashed on ``error_attr`` (one slot per warmer — the
+        single-query and batched warmers must not overwrite each other's
+        evidence) and logged, never raised into serving."""
+        import threading
+
+        def worker():
+            from concurrent.futures import ThreadPoolExecutor
+
+            try:
+                with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
+                    list(ex.map(fire, items))
+            except Exception as e:  # never crash serving from the warmer
+                setattr(self, error_attr, e)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "background fused warmup failed (serving stays on the "
+                    "composed path): %s", e
+                )
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        return t
+
     def warmup_background(
         self,
         queries: List[Query],
@@ -1960,24 +2001,7 @@ class SearchEngine:
                 np.asarray(vals)
             self._fused_warm.add(key)
 
-        def worker():
-            from concurrent.futures import ThreadPoolExecutor
-
-            try:
-                with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
-                    list(ex.map(fire_fused, seen.items()))
-            except Exception as e:  # never crash serving from the warmer
-                self._warmup_bg_error = e
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "background fused warmup failed (serving stays on the "
-                    "composed path): %s", e
-                )
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        return t
+        return self._spawn_warmer(fire_fused, seen.items(), "_warmup_bg_error", threads)
 
     def warmup_many_background(
         self,
@@ -1992,8 +2016,8 @@ class SearchEngine:
         composed per-query chains serve, hot-swapping each piece shape
         into ``search_many``'s route the moment it is ready
         (``_fused_many_warm``).  The batched analogue of
-        :meth:`warmup_background`; same error contract
-        (``self._warmup_bg_error``)."""
+        :meth:`warmup_background`; same error contract, on its own slot
+        (``self._warmup_many_bg_error``)."""
         import threading
 
         packed = self._resident_packed(db, plan)
@@ -2029,24 +2053,7 @@ class SearchEngine:
             np.asarray(vals)
             self._fused_many_warm.add(key)
 
-        def worker():
-            from concurrent.futures import ThreadPoolExecutor
-
-            try:
-                with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
-                    list(ex.map(fire, seen.items()))
-            except Exception as e:  # never crash serving from the warmer
-                self._warmup_bg_error = e
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "background fused multi-query warmup failed (serving "
-                    "stays on the composed path): %s", e
-                )
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        return t
+        return self._spawn_warmer(fire, seen.items(), "_warmup_many_bg_error", threads)
 
     def search_queued(
         self,
@@ -2253,8 +2260,12 @@ class SearchEngine:
             # Unchained plans draw widths from the fixed ladder and lane
             # counts from the 128/256/512 quanta, so the compile family
             # is closed and amortises across queries.
+            # evalue=False: the sub-search's scores cover the (biased)
+            # candidate sub-database; the caller fits its null from the
+            # calibration sample instead, so attaching one here would be
+            # per-query wasted work that is immediately discarded.
             self._exact = SearchEngine(
-                self.config.replace(prefilter=None, top_k=None, wave_chain=False)
+                self.config.replace(prefilter=None, top_k=None, wave_chain=False, evalue=False)
             )
         return self._exact
 
@@ -2333,8 +2344,7 @@ class SearchEngine:
             resolved = []
             for qi, futs, jobs, cells, k in pend:
                 ids_sc, sc = self._prefilter_exact_scores(futs, jobs)
-                order = np.lexsort((ids_sc, -sc))[:k]
-                hits = [(int(ids_sc[i]), int(sc[i])) for i in order]
+                hits = self._hits_from(ids_sc, sc, k)
                 null = (
                     self._null_from_sample(queries[qi], db, ids_sc, sc) if cfg.evalue else None
                 )
@@ -2462,14 +2472,13 @@ class SearchEngine:
         t_dev = time.perf_counter()
         futs, jobs, cells = self._prefilter_exact_enqueue(query, db, cand, timer)
         ids, scores = self._prefilter_exact_scores(futs, jobs)
-        order = np.lexsort((ids, -scores))[:k]
-        hits = [(int(ids[i]), int(scores[i])) for i in order]
+        hits = self._hits_from(ids, scores, k)
         return hits, time.perf_counter() - t_dev, cells, ids, scores
 
     def _prefilter_exact_enqueue(self, query: Query, db: Database, cand: np.ndarray, timer):
         """Enqueue (without transferring) the exact-phase rescore of one
         query's candidate set.  Returns (futures, jobs, packed_cells); pass
-        them to :meth:`_prefilter_exact_resolve` to pay the device->host
+        them to :meth:`_prefilter_exact_scores` to pay the device->host
         barrier — the split lets the batched serving path enqueue a whole
         query batch and sync ONCE (round-3 VERDICT item 5).
         """
@@ -2595,9 +2604,9 @@ class SearchEngine:
         ids = np.concatenate([part for part, *_ in jobs])
         return ids, scores
 
-    def _prefilter_exact_resolve(self, futs, jobs, k: int):
-        """Transfer an enqueued exact phase and extract the top-K hits."""
-        ids, scores = self._prefilter_exact_scores(futs, jobs)
+    @staticmethod
+    def _hits_from(ids: np.ndarray, scores: np.ndarray, k: int) -> List[Tuple[int, int]]:
+        """Top-k (id, score) with the engine's (score desc, id asc) order."""
         order = np.lexsort((ids, -scores))[:k]
         return [(int(ids[i]), int(scores[i])) for i in order]
 

@@ -49,8 +49,9 @@ class DistributedResult:
     local_scores: Optional[np.ndarray]
     shard_base: int  # global id of this host's first sequence
     # GLOBAL null statistics (swtpu.stats.NullStats) when the engine ran
-    # with config.evalue: per-shard sufficient statistics merged through
-    # the same collective as the hits (moments sum; top values union) —
+    # with config.evalue: per-shard sufficient statistics merged across
+    # hosts (moments ride the hits collective; top values pay one extra
+    # count-sized collective per batch so the trim is never clamped) —
     # E-values against the WHOLE database, computed identically on every
     # host.  Length-bin statistics are dropped (bin edges are shard-local
     # quantiles, not comparable across hosts), so the significance uses
@@ -171,43 +172,58 @@ class DistributedSearchEngine:
             for rank, (sid, score) in enumerate(r.top_k(k)):
                 cand[qi, rank] = (score, shard_base + sid)
 
-        # Null statistics ride the SAME collective (a pytree leaf, not a
-        # second allgather): per-shard sufficient statistics — (count,
-        # sum, sumsq, n_subjects, summed subject length) scalars plus the
-        # shard's top score values — merge into one global fit host-side.
+        # Null statistics ride the same batch collective (extra pytree
+        # leaves) — per-shard (count, nonzero-sum, sumsq, n_subjects,
+        # summed subject length).  Counts/subjects travel as exact int32;
+        # the float sums stay f32 (they come off the device as f32) and
+        # are accumulated in f64 host-side.
         have_null = self.config.evalue and all(
             getattr(r, "null_stats", None) is not None for r in results
         )
         payload = {"cand": jnp.asarray(cand)}
         if have_null:
-            TOPN = 2048  # fixed so every host gathers the same shape
-            tops = np.zeros((nq, TOPN), dtype=np.float32)
-            scal = np.zeros((nq, 5), dtype=np.float32)
+            scal_i = np.zeros((nq, 2), dtype=np.int32)  # count, n_subjects
+            scal_f = np.zeros((nq, 3), dtype=np.float32)  # total, sumsq, len_sum
             for qi, r in enumerate(results):
                 ns = r.null_stats
-                tv = np.asarray(ns.top_vals, np.float64)[:TOPN]
-                tops[qi, : tv.size] = tv
-                scal[qi] = (
-                    ns.count,
-                    ns.total,
-                    ns.total_sq,
-                    ns.n_subjects,
-                    ns.n_subjects * ns.mean_subject_length,
-                )
-            payload["tops"] = jnp.asarray(tops)
-            payload["scal"] = jnp.asarray(scal)
+                scal_i[qi] = (ns.count, ns.n_subjects)
+                scal_f[qi] = (ns.total, ns.total_sq, ns.n_subjects * ns.mean_subject_length)
+            payload["scal_i"] = jnp.asarray(scal_i)
+            payload["scal_f"] = jnp.asarray(scal_f)
 
         if self.process_count > 1:
             gathered = multihost_utils.process_allgather(payload)
             allc = np.moveaxis(
                 np.asarray(gathered["cand"]).reshape(self.process_count, nq, top_k, 2), 0, 1
             ).reshape(nq, -1, 2)
-            tops_all = np.asarray(gathered.get("tops")) if have_null else None
-            scal_all = np.asarray(gathered.get("scal")) if have_null else None
+            si = np.asarray(gathered["scal_i"]).astype(np.int64) if have_null else None
+            sf = np.asarray(gathered["scal_f"]).astype(np.float64) if have_null else None
         else:
             allc = cand
-            tops_all = tops[None] if have_null else None
-            scal_all = scal[None] if have_null else None
+            si = scal_i[None].astype(np.int64) if have_null else None
+            sf = scal_f[None].astype(np.float64) if have_null else None
+
+        tops_all = None
+        if have_null:
+            # Second (evalue-only) collective: top score values, sized so
+            # the merged fit's homolog-exclusion trim is NEVER clamped at
+            # scale — every host ships ceil(trim * its max shard count)
+            # values (a fixed 2048 cap would cover <20% of the global
+            # trim on a SwissProt-scale 2-host split, leaving homologs in
+            # the fitted body).  All hosts compute the same TOPN from the
+            # gathered counts, so the shapes agree.
+            from ..stats import DEFAULT_TRIM
+
+            topn = max(1, int(np.ceil(DEFAULT_TRIM * int(si[:, :, 0].max()))))
+            tops = np.zeros((nq, topn), dtype=np.float32)
+            for qi, r in enumerate(results):
+                tv = np.asarray(r.null_stats.top_vals, np.float64)[:topn]
+                tops[qi, : tv.size] = tv
+            if self.process_count > 1:
+                tops_all = np.asarray(multihost_utils.process_allgather(jnp.asarray(tops)))
+            else:
+                tops_all = tops[None]
+
         out = []
         for qi, r in enumerate(results):
             c = allc[qi]
@@ -218,18 +234,17 @@ class DistributedSearchEngine:
             if have_null:
                 from ..stats import NullStats
 
-                s = scal_all[:, qi].astype(np.float64)  # (P, 5)
                 tv = tops_all[:, qi].astype(np.float64).ravel()
                 tv = -np.sort(-tv[tv > 0])
-                n_subj = int(round(s[:, 3].sum()))
+                n_subj = int(si[:, qi, 1].sum())
                 null = NullStats(
-                    count=int(round(s[:, 0].sum())),
-                    total=float(s[:, 1].sum()),
-                    total_sq=float(s[:, 2].sum()),
+                    count=int(si[:, qi, 0].sum()),
+                    total=float(sf[:, qi, 0].sum()),
+                    total_sq=float(sf[:, qi, 1].sum()),
                     top_vals=tv,
                     n_subjects=n_subj,
                     query_length=r.null_stats.query_length,
-                    mean_subject_length=float(s[:, 4].sum()) / max(n_subj, 1),
+                    mean_subject_length=float(sf[:, qi, 2].sum()) / max(n_subj, 1),
                 )
             out.append(
                 DistributedResult(
@@ -277,8 +292,9 @@ class DistributedSearchEngine:
         with ``config.prefilter`` each host coarse-ranks ITS shard locally
         and rescores only its candidates, so the coarse pass never crosses
         DCN either), builds a (Q, K, 2) candidate tensor, and merges via a
-        single ``process_allgather``.  Every process must call this
-        collectively with the same queries and top_k.
+        single ``process_allgather`` (plus one more per batch in evalue
+        mode, for the trim-sized top-value lists).  Every process must
+        call this collectively with the same queries and top_k.
         """
         if not queries:
             return []

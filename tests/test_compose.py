@@ -250,7 +250,7 @@ def test_search_many_composed_cold_path_and_hotswap():
 
     t = eng.warmup_many_background(queries, db)
     t.join(timeout=600)
-    assert getattr(eng, "_warmup_bg_error", None) is None
+    assert getattr(eng, "_warmup_many_bg_error", None) is None
     assert len(eng._fused_many_warm) == 2  # (qpad=64, Q=2), (qpad=96, Q=1)
     res_warm = eng.search_many(queries, db)
     for a, b in zip(res_cold, res_warm):

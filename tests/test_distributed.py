@@ -326,9 +326,11 @@ def test_multi_process_batched_search_many(tmp_path, prefilter, evalue):
         results[d["pid"]] = d
 
     assert results[1]["hits"] == results[0]["hits"]
-    # ONE collective for the whole 4-query batch (the round-4 engine paid 4)
+    # ONE collective for the whole 4-query batch (the round-4 engine paid
+    # one PER QUERY); evalue mode pays exactly one more for the merged
+    # trim-sized top-value lists.
     for p in range(nproc):
-        assert results[p]["collectives"] == 1
+        assert results[p]["collectives"] == (2 if evalue else 1)
         assert results[p]["scores_none"]  # hits-only transfer end to end
 
     # matches the single-host engine per query

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--top-k", type=int, default=None, help="serving device top-K mode (hits only, no full arrays)")
     ap.add_argument("--gap-open", type=int, default=None, help="affine serving (with --gap-extend)")
     ap.add_argument("--gap-extend", type=int, default=None)
+    ap.add_argument("--queued", action="store_true",
+                    help="use search_queued (per-query dispatches, one "
+                    "barrier) instead of search_many; with --top-k this is "
+                    "the queued x device-top-K protocol (round 5)")
+    ap.add_argument("--evalue", action="store_true", help="collect null stats (device moments)")
     args = ap.parse_args()
 
     from bench import synth_database
@@ -44,16 +49,18 @@ def main():
 
     db = synth_database(args.db_size)
     engine = SearchEngine(SWConfig(wave_unroll_block=args.unroll_block, top_k=args.top_k,
-                                   gap_open=args.gap_open, gap_extend=args.gap_extend))
+                                   gap_open=args.gap_open, gap_extend=args.gap_extend,
+                                   evalue=args.evalue))
+    serve = engine.search_queued if args.queued else engine.search_many
     t0 = time.perf_counter()
-    engine.search_many(batch(0), db)  # cold: pack + compile + run
+    serve(batch(0), db)  # cold: pack + compile + run
     cold = time.perf_counter() - t0
     print(f"cold first batch (pack+compile+run): {cold:.1f} s")
 
     cells = args.queries * args.qlen * db.length_sum
     for rep in range(args.reps):
         t0 = time.perf_counter()
-        res = engine.search_many(batch(1 + rep), db)
+        res = serve(batch(1 + rep), db)
         dt = time.perf_counter() - t0
         dev = sum(r.metrics.device_seconds for r in res) or dt
         print(
