@@ -168,3 +168,53 @@ def test_cli_topk_evalue_device_path(tmp_path, capsys):
     assert rc == 0
     lines = [l for l in out.splitlines() if "\tE=" in l]
     assert len(lines) == 3 and lines[0].startswith("80:")
+
+
+def test_evalue_query_shard_mesh(workload, reference_stats):
+    """Query-band sharding produces full scores; the host-side null
+    reduction applies unchanged under the systolic mesh."""
+    q, db = workload
+    eng = SearchEngine(SWConfig(evalue=True, mesh_shape=(8,), query_shard=True, **WAVE))
+    res = eng.search(q, db)
+    assert res.scores is not None and res.null_stats is not None
+    _assert_close_stats(res.top_k_stats(5), reference_stats, rel=1e-9)
+
+
+def test_evalue_int16_parity_mode(workload, reference_stats):
+    """The int16 saturating XLA path materialises exact full scores
+    (rescore fallback), so the host-side null reduction applies."""
+    q, db = workload
+    eng = SearchEngine(SWConfig(evalue=True, score_dtype="int16", use_wave=False))
+    res = eng.search(q, db)
+    assert res.null_stats is not None
+    _assert_close_stats(res.top_k_stats(5), reference_stats, rel=1e-9)
+
+
+def test_evalue_streaming_nonresident(workload, reference_stats):
+    q, db = workload
+    eng = SearchEngine(SWConfig(evalue=True, device_resident=False, **WAVE))
+    res = eng.search(q, db)
+    assert res.null_stats is not None
+    _assert_close_stats(res.top_k_stats(5), reference_stats, rel=1e-9)
+
+
+def test_evalue_prefilter_nonwave_branch(workload):
+    """The prefilter's non-wave/exhaustive branch also carries the
+    sampled null (scores are position-aligned with the sorted candidate
+    ids)."""
+    q, db = workload
+    eng = SearchEngine(SWConfig(top_k=5, evalue=True, prefilter=0.3, use_wave=False))
+    res = eng.search(q, db)
+    assert res.null_stats is not None
+    st = res.top_k_stats(5)
+    assert st[0].id == 123 and st[0].evalue < 1e-4
+
+
+def test_evalue_trim_above_coverage_raises(workload):
+    q, db = workload
+    eng = SearchEngine(SWConfig(top_k=5, evalue=True, **WAVE))
+    res = eng.search(q, db)
+    with pytest.raises(ValueError, match="trim"):
+        res.top_k_stats(5, trim=0.5)
+    # the engine-default trim still works
+    assert res.top_k_stats(5)
