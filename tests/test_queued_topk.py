@@ -85,3 +85,19 @@ def test_queued_topk_tie_fallback():
     assert res.top_k(5) == full.search(q, db).top_k(5)
     # the fallback materialised the full array (scores present) OR the
     # hits were resolvable — either way the contract above held
+
+
+def test_warmup_fires_topk_route(workload):
+    """warmup() on a top-K engine must warm the device top-K dispatch
+    chain (the route queued/single searches actually take), not the
+    full-score step they never run."""
+    queries, db = workload
+    eng = SearchEngine(SWConfig(top_k=7, **WAVE))
+    dt = eng.warmup(queries, db)
+    assert dt > 0.0
+    # the top-K step exists and the full-score fused step was never built
+    assert getattr(eng, "_topk_step_fn", None) is not None
+    res = eng.search_queued(queries, db)
+    ref = SearchEngine(SWConfig(**WAVE))
+    for q, r in zip(queries, res):
+        assert r.top_k(7) == ref.search(q, db).top_k(7)
