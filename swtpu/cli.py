@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
         "device-top-K paths fit from an on-device moment reduction, "
         "prefilter mode from an exactly-scored random calibration sample",
     )
+    p.add_argument(
+        "--max-evalue",
+        type=float,
+        default=None,
+        metavar="X",
+        help="with --evalue: print only hits with E-value <= X (the "
+        "BLAST/SSEARCH report-threshold convention)",
+    )
     p.add_argument("--no-scores", action="store_true", help="skip the per-sequence score dump")
     p.add_argument("--json", action="store_true", help="emit metrics as one JSON line")
     p.add_argument("--pallas", action="store_true", help="use the legacy row-parallel Pallas kernel")
@@ -127,6 +135,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.evalue and args.top_k is None:
         print("swtpu: error: --evalue requires --top-k", file=sys.stderr)
         return 2
+    if args.max_evalue is not None and not args.evalue:
+        print("swtpu: error: --max-evalue requires --evalue", file=sys.stderr)
+        return 2
     try:
         config = SWConfig(
             gap_penalty=args.gap,
@@ -195,6 +206,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.top_k is not None:
         if args.evalue:
             for h in result.top_k_stats(args.top_k):
+                if args.max_evalue is not None and h.evalue > args.max_evalue:
+                    break  # hits are score-sorted and E(x) is monotone in x
                 print(f"{h.id}:{h.score}\tE={h.evalue:.3g}\tbits={h.bits:.1f}")
         else:
             for sid, score in result.top_k(args.top_k):

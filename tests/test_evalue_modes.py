@@ -218,3 +218,23 @@ def test_evalue_trim_above_coverage_raises(workload):
         res.top_k_stats(5, trim=0.5)
     # the engine-default trim still works
     assert res.top_k_stats(5)
+
+
+def test_cli_max_evalue_filter(tmp_path, capsys):
+    from swtpu.cli import main as cli_main
+
+    rng = np.random.default_rng(6)
+    qs = "".join(rng.choice(list(ALPHABET), size=40))
+    qf = tmp_path / "q.fasta"
+    qf.write_text(f">q\n{qs}\n")
+    recs = [f">s{i}\n" + "".join(rng.choice(list(ALPHABET), size=60)) for i in range(80)]
+    recs.append(">hom\n" + qs)
+    (tmp_path / "db.fasta").write_text("\n".join(recs) + "\n")
+    args = ["--query", str(qf), "--db", str(tmp_path / "db.fasta"), "--top-k", "5", "--evalue"]
+    assert cli_main(args + ["--max-evalue", "1e-3"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if "\tE=" in l]
+    assert len(lines) == 1 and lines[0].startswith("80:")  # only the homolog survives
+    # --max-evalue without --evalue is a clean flag error
+    assert cli_main(["--query", str(qf), "--db", str(tmp_path / "db.fasta"),
+                     "--top-k", "5", "--max-evalue", "1.0"]) == 2
